@@ -1,0 +1,286 @@
+"""Immutable experiment configuration.
+
+The reference keeps every knob in a single mutable module (`config.py`) that CLI
+flags patch in place (reference ``config.py:1-292``, ``main.py:120-146``). Here
+the same knob surface is expressed as frozen dataclasses composed into one
+:class:`ExperimentConfig`; CLI overrides produce a *new* config via
+:func:`dataclasses.replace`, and the five benchmark experiment presets of
+``BASELINE.json`` are constructable by name through :func:`get_preset`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Leaf configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Augmentation pipeline knobs.
+
+    Mirrors the reference's albumentations pipeline matrix
+    (reference ``config.py:115-265``): all stochastic augs fire with p=0.5,
+    the active "all_four_combined" pipeline has HorizontalFlip commented out,
+    so its effective order is ColorJitter -> ISONoise -> CoarseDropout.
+    Our pipeline runs *on device*, batched, from uint8 NHWC images.
+    """
+
+    pipeline: str = "all_four_combined"
+    # one of: no_new_aug | hflip_only | colorjitter_only | isonoise_only |
+    #         coarsedropout_only | all_four_combined | all_four_plus_hflip
+    prob: float = 0.5
+    # ColorJitter(brightness=0.3, contrast=0.3, saturation=0.3, hue=0.1)
+    cj_brightness: float = 0.3
+    cj_contrast: float = 0.3
+    cj_saturation: float = 0.3
+    cj_hue: float = 0.1
+    # ISONoise(intensity=(0.1, 0.3), color_shift=(0.01, 0.05))
+    iso_intensity: Tuple[float, float] = (0.1, 0.3)
+    iso_color_shift: Tuple[float, float] = (0.01, 0.05)
+    # CoarseDropout(num_holes in [1, 8], hole hw in [20, 60] px, fill 0)
+    cd_max_holes: int = 8
+    cd_min_holes: int = 1
+    cd_hole_size: Tuple[int, int] = (20, 60)
+    cd_fill: float = 0.0
+    # ImageNet normalization (reference config.py:128-130)
+    norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    @property
+    def flags(self) -> Tuple[bool, bool, bool, bool]:
+        """(hflip, colorjitter, isonoise, coarsedropout) enabled switches."""
+        p = self.pipeline
+        return (
+            p in ("hflip_only", "all_four_plus_hflip"),
+            p in ("colorjitter_only", "all_four_combined", "all_four_plus_hflip"),
+            p in ("isonoise_only", "all_four_combined", "all_four_plus_hflip"),
+            p in ("coarsedropout_only", "all_four_combined", "all_four_plus_hflip"),
+        )
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset locations, sizes and loading (reference ``config.py:16-78``)."""
+
+    train_dataset: str = "gta5"  # gta5 | cityscapes | synthetic
+    val_dataset: str = "cityscapes"
+    gta5_path: str = "./data/GTA5"
+    cityscapes_path: str = "./data/Cityscapes"
+    gta5_labels_subdir: str = "labels_trainids"
+    gta5_convert_on_the_fly: bool = False
+    gta5_size: Tuple[int, int] = (720, 1280)  # (H, W) train resize for GTA5
+    cityscapes_size: Tuple[int, int] = (512, 1024)  # (H, W) for Cityscapes
+    num_workers: int = 8  # host decode threads
+    prefetch_batches: int = 2  # device prefetch depth
+    eval_batch_size: int = 8  # reference validates at batch 1; we batch it
+    # adversarial UDA streams (reference config.py:268-274)
+    adversarial_source_dataset: str = "gta5"
+    adversarial_target_dataset: str = "cityscapes"
+    adversarial_target_split: str = "train"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model family selection (reference ``config.py:31-43, 97-99``)."""
+
+    name: str = "bisenet"  # bisenet | deeplabv2
+    context_path: str = "resnet18"  # resnet18 | resnet101 (BiSeNet only)
+    num_classes: int = 19
+    compute_dtype: str = "bfloat16"  # bf16 on the MXU; f32 params
+    pretrained_backbone: Optional[str] = None  # path to converted .npz weights
+    disc_ndf: int = 64  # FCDiscriminator base width (reference discriminator.py:12)
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Generator optimizer (reference ``config.py:85-95``)."""
+
+    name: str = "adam"  # sgd | adam
+    learning_rate: float = 1e-4  # adam default; sgd default is 2.5e-4
+    weight_decay: float = 1e-4
+    sgd_momentum: float = 0.9
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    poly_power: float = 0.9  # poly LR decay exponent (reference config.py:83)
+
+    @staticmethod
+    def default_lr(name: str) -> float:
+        return {"sgd": 2.5e-4, "adam": 1e-4}[name]
+
+
+@dataclass(frozen=True)
+class AdversarialConfig:
+    """Single-level output-space adversarial UDA (reference ``config.py:268-287``)."""
+
+    enabled: bool = False
+    lambda_adv: float = 0.002  # generator adversarial loss weight
+    disc_optimizer: str = "adam"
+    disc_learning_rate: float = 2.5e-5
+    disc_adam_b1: float = 0.9
+    disc_adam_b2: float = 0.99
+    disc_weight_decay: float = 0.0
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss composition (reference ``config.py:63, 289-292``)."""
+
+    ignore_index: int = 255
+    use_lovasz: bool = False
+    lovasz_weight: float = 0.5  # L = L_ce + w * L_lovasz
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for SPMD execution.
+
+    The reference is single-device (SURVEY.md section 2, "Parallelism").
+    Here data parallelism is first-class: the train step is jitted over a
+    ``Mesh((data, model))`` with the batch sharded on ``data``. The ``model``
+    axis is a spare tensor-parallel axis (shards wide conv channels) so the
+    mesh design scales beyond DP; ``model=1`` reproduces pure DP.
+    """
+
+    data: int = -1  # -1 => use all available devices
+    model: int = 1
+    data_axis_name: str = "data"
+    model_axis_name: str = "model"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Loop-level knobs (reference ``config.py:7, 46-58, 80-83, 106-113``)."""
+
+    seed: int = 42
+    epochs: int = 50
+    batch_size: int = 8  # global batch (sharded over the data axis)
+    checkpoint_dir: str = "./checkpoints"
+    best_checkpoint_name: str = "best_miou"
+    periodic_checkpoint_name: str = "latest"
+    save_checkpoint_freq_epoch: int = 5
+    resume_checkpoint: Optional[str] = None
+    validate_freq_epoch: int = 1
+    print_freq_batch: int = 100
+    log_images_freq_epoch: int = 10
+    latency_iterations: int = 100
+    warmup_iterations: int = 10
+    steps_per_epoch: Optional[int] = None  # None => derived from dataset length
+
+
+@dataclass(frozen=True)
+class ObservabilityConfig:
+    """Metric logging (reference W&B surface, ``utils.py:120-288``)."""
+
+    backend: str = "auto"  # auto | wandb | jsonl | null
+    project: str = "RTDA-SemSeg"
+    entity: str = "RTDA-SemSeg"
+    run_name: Optional[str] = None
+    log_dir: str = "./logs"
+
+
+# ---------------------------------------------------------------------------
+# Top-level config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    adversarial: AdversarialConfig = field(default_factory=AdversarialConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    obs: ObservabilityConfig = field(default_factory=ObservabilityConfig)
+
+    @property
+    def train_mode(self) -> str:
+        """One of vanilla | lovasz | adversarial | adversarial_lovasz.
+
+        Matches the reference's 4 epoch engines (train.py:28,163 and
+        train_lovasz.py:29,172)."""
+        if self.adversarial.enabled:
+            return "adversarial_lovasz" if self.loss.use_lovasz else "adversarial"
+        return "lovasz" if self.loss.use_lovasz else "vanilla"
+
+    @property
+    def train_size(self) -> Tuple[int, int]:
+        if self.data.train_dataset == "cityscapes":
+            return self.data.cityscapes_size
+        return self.data.gta5_size
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+# ---------------------------------------------------------------------------
+# Baseline presets (the 5 configs of BASELINE.json)
+# ---------------------------------------------------------------------------
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    """Named experiment presets matching ``BASELINE.json['configs']``."""
+    base = ExperimentConfig()
+    if name == "bisenet_source_small":
+        # "BiSeNet (ResNet-18) source-only on GTA5, 512x256 crop, batch 2,
+        #  no aug (CPU-runnable)"
+        return base.replace(
+            data=dataclasses.replace(
+                base.data, gta5_size=(256, 512), cityscapes_size=(256, 512),
+                eval_batch_size=2,
+            ),
+            augment=dataclasses.replace(base.augment, pipeline="no_new_aug"),
+            train=dataclasses.replace(base.train, batch_size=2),
+        )
+    if name == "bisenet_source_aug":
+        # "BiSeNet source-only + full aug pipeline, 1024x512"
+        return base.replace(
+            data=dataclasses.replace(base.data, gta5_size=(512, 1024)),
+            augment=dataclasses.replace(base.augment, pipeline="all_four_combined"),
+        )
+    if name == "deeplabv2_cityscapes":
+        # "DeepLabV2 (ResNet-101, ASPP) Cityscapes upper-bound training + eval"
+        return base.replace(
+            model=dataclasses.replace(base.model, name="deeplabv2"),
+            data=dataclasses.replace(base.data, train_dataset="cityscapes"),
+            optimizer=dataclasses.replace(
+                base.optimizer, name="sgd", learning_rate=2.5e-4
+            ),
+            augment=dataclasses.replace(base.augment, pipeline="no_new_aug"),
+        )
+    if name == "bisenet_adversarial":
+        # "BiSeNet + FC-Discriminator adversarial UDA (CE loss)"
+        return base.replace(
+            adversarial=dataclasses.replace(base.adversarial, enabled=True),
+        )
+    if name == "bisenet_adversarial_lovasz":
+        # "Full model: adversarial UDA + hybrid CE+Lovasz, best-aug pipeline"
+        return base.replace(
+            adversarial=dataclasses.replace(base.adversarial, enabled=True),
+            loss=dataclasses.replace(base.loss, use_lovasz=True),
+            augment=dataclasses.replace(base.augment, pipeline="all_four_combined"),
+        )
+    raise ValueError(
+        f"Unknown preset {name!r}. Presets: bisenet_source_small, "
+        "bisenet_source_aug, deeplabv2_cityscapes, bisenet_adversarial, "
+        "bisenet_adversarial_lovasz"
+    )
+
+
+PRESETS = (
+    "bisenet_source_small",
+    "bisenet_source_aug",
+    "deeplabv2_cityscapes",
+    "bisenet_adversarial",
+    "bisenet_adversarial_lovasz",
+)

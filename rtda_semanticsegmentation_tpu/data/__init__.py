@@ -1,0 +1,11 @@
+from .labels import (
+    GTA5_CLASS_NAMES,
+    GTA5_CLASS_COLORS,
+    CITYSCAPES_TRAINID_COLORS,
+    CITYSCAPES_ID_TO_NAME,
+    NUM_CLASSES,
+    IGNORE_INDEX,
+    build_color_to_id_lut,
+    rgb_label_to_train_ids,
+    train_ids_to_rgb,
+)

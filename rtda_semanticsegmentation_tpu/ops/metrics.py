@@ -1,0 +1,62 @@
+"""Segmentation metric kernels, computed on device.
+
+TPU-native counterparts of the reference's numpy helpers
+(``utils.py:62-89`` ``fast_hist`` and ``utils.py:92-116`` ``per_class_iou``):
+the confusion matrix accumulates *on device* inside the jitted eval step (one
+segment-sum per batch, a single host transfer per evaluation) instead of a
+per-image ``.cpu().numpy()`` + ``np.bincount`` round-trip
+(reference ``validation.py:98-109``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def confusion_matrix(
+    labels: jnp.ndarray, preds: jnp.ndarray, num_classes: int
+) -> jnp.ndarray:
+    """Confusion matrix hist[i, j] = #pixels with true label i, prediction j.
+
+    Pixels whose true or predicted label falls outside [0, num_classes) are
+    dropped — this is exactly the validity mask of the reference's
+    ``fast_hist`` (``utils.py:79-84``), which also implements ignore_index=255
+    filtering. Any shape; int dtypes.
+
+    Returns an (num_classes, num_classes) int32 matrix.
+    """
+    labels = labels.reshape(-1).astype(jnp.int32)
+    preds = preds.reshape(-1).astype(jnp.int32)
+    valid = (
+        (labels >= 0)
+        & (labels < num_classes)
+        & (preds >= 0)
+        & (preds < num_classes)
+    )
+    # Invalid pixels are routed to an overflow bin that is sliced away.
+    flat = jnp.where(valid, labels * num_classes + preds, num_classes * num_classes)
+    hist = jnp.zeros(num_classes * num_classes + 1, dtype=jnp.int32).at[flat].add(1)
+    return hist[:-1].reshape(num_classes, num_classes)
+
+
+def per_class_iou(hist: jnp.ndarray, epsilon: float = 1e-5) -> jnp.ndarray:
+    """Per-class IoU = TP / (TP + FP + FN) from a confusion matrix.
+
+    Parity with reference ``utils.py:92-116``: the same 1e-5 epsilon in the
+    denominator and NaN->0 replacement (a class absent from both labels and
+    predictions scores 0, and with the epsilon the ratio is 0/eps = 0 anyway).
+    """
+    hist = hist.astype(jnp.float64 if hist.dtype == jnp.int64 else jnp.float32)
+    tp = jnp.diag(hist)
+    denom = hist.sum(axis=1) + hist.sum(axis=0) - tp + epsilon
+    ious = tp / denom
+    return jnp.nan_to_num(ious, nan=0.0)
+
+
+def mean_iou(hist: jnp.ndarray, epsilon: float = 1e-5) -> jnp.ndarray:
+    """Scalar mIoU = mean over classes of per-class IoU.
+
+    The reference computes ``np.nanmean`` over per-class IoUs
+    (``validation.py:135-136``); since ``per_class_iou`` already maps NaN->0
+    this equals the plain mean, which is what we take."""
+    return per_class_iou(hist, epsilon).mean()

@@ -1,0 +1,121 @@
+"""Loss kernels vs independent numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtda_semanticsegmentation_tpu.ops.losses import (
+    bce_with_logits,
+    cross_entropy_with_ignore,
+    lovasz_softmax,
+)
+from oracles import (
+    bce_with_logits_oracle,
+    cross_entropy_oracle,
+    lovasz_softmax_oracle,
+)
+
+
+def _random_case(seed, b=2, h=9, w=13, c=5, ignore_frac=0.2):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    labels = rng.integers(0, c, size=(b, h, w)).astype(np.int32)
+    ignore_mask = rng.random((b, h, w)) < ignore_frac
+    labels[ignore_mask] = 255
+    return logits, labels
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_cross_entropy_matches_oracle(seed):
+    logits, labels = _random_case(seed)
+    got = float(cross_entropy_with_ignore(jnp.array(logits), jnp.array(labels)))
+    want = cross_entropy_oracle(
+        logits.reshape(-1, logits.shape[-1]), labels.reshape(-1)
+    )
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_cross_entropy_all_ignored_is_zero():
+    logits = np.random.default_rng(0).normal(size=(1, 4, 4, 3)).astype(np.float32)
+    labels = np.full((1, 4, 4), 255, np.int32)
+    got = float(cross_entropy_with_ignore(jnp.array(logits), jnp.array(labels)))
+    assert got == 0.0
+
+
+def test_cross_entropy_mean_per_image_matches_batch1_loop():
+    # 'mean_per_image' on a batch must equal averaging batch-1 'mean' calls —
+    # the reference's validation semantics (validation.py:89-92 at batch 1).
+    logits, labels = _random_case(7, b=4)
+    batched = float(
+        cross_entropy_with_ignore(
+            jnp.array(logits), jnp.array(labels), reduction="mean_per_image"
+        )
+    )
+    loop = np.mean(
+        [
+            float(
+                cross_entropy_with_ignore(
+                    jnp.array(logits[i : i + 1]), jnp.array(labels[i : i + 1])
+                )
+            )
+            for i in range(4)
+        ]
+    )
+    assert batched == pytest.approx(loop, rel=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_lovasz_matches_oracle(seed):
+    logits, labels = _random_case(seed, b=2, h=17, w=11, c=7)
+    probas = jax.nn.softmax(jnp.array(logits), axis=-1)
+    got = float(lovasz_softmax(probas, jnp.array(labels)))
+    want = lovasz_softmax_oracle(
+        np.asarray(probas, np.float64).reshape(-1, logits.shape[-1]),
+        labels.reshape(-1),
+    )
+    assert got == pytest.approx(want, rel=1e-4, abs=1e-6)
+
+
+def test_lovasz_absent_classes_are_skipped():
+    # Only classes 0 and 2 present; the mean must be over those two only.
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    labels = rng.choice([0, 2], size=(1, 8, 8)).astype(np.int32)
+    probas = jax.nn.softmax(jnp.array(logits), axis=-1)
+    got = float(lovasz_softmax(probas, jnp.array(labels)))
+    want = lovasz_softmax_oracle(
+        np.asarray(probas, np.float64).reshape(-1, 4), labels.reshape(-1)
+    )
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_lovasz_all_ignored_is_zero():
+    probas = jnp.full((1, 4, 4, 3), 1 / 3)
+    labels = jnp.full((1, 4, 4), 255, jnp.int32)
+    assert float(lovasz_softmax(probas, labels)) == 0.0
+
+
+def test_lovasz_perfect_prediction_near_zero():
+    labels = np.random.default_rng(0).integers(0, 3, size=(1, 16, 16)).astype(np.int32)
+    probas = np.eye(3, dtype=np.float32)[labels]
+    got = float(lovasz_softmax(jnp.array(probas), jnp.array(labels)))
+    assert got == pytest.approx(0.0, abs=1e-6)
+
+
+def test_lovasz_is_differentiable():
+    logits, labels = _random_case(11, b=1, h=8, w=8, c=4)
+
+    def loss_fn(lg):
+        return lovasz_softmax(jax.nn.softmax(lg, axis=-1), jnp.array(labels))
+
+    g = jax.grad(loss_fn)(jnp.array(logits))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+@pytest.mark.parametrize("target", [0.0, 1.0])
+def test_bce_with_logits_matches_oracle(target):
+    x = np.random.default_rng(5).normal(size=(2, 1, 6, 8)).astype(np.float32) * 3
+    got = float(bce_with_logits(jnp.array(x), target))
+    assert got == pytest.approx(bce_with_logits_oracle(x, target), rel=1e-5)
