@@ -1,0 +1,65 @@
+"""Model construction and initialization from config.
+
+Counterpart of reference ``model_loader.py:16-98`` (dispatch on model name,
+optional pretrained backbone, discriminator builder) — but returning pure
+flax modules + parameter pytrees instead of stateful device-bound objects.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ExperimentConfig, ModelConfig
+from .bisenet import BiSeNet
+from .deeplabv2 import DeepLabV2
+from .discriminator import FCDiscriminator
+
+
+def build_model(cfg: ModelConfig):
+    """Instantiate the generator module named by ``cfg.name``."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if cfg.name == "bisenet":
+        return BiSeNet(
+            num_classes=cfg.num_classes,
+            context_path=cfg.context_path,
+            dtype=dtype,
+        )
+    if cfg.name == "deeplabv2":
+        return DeepLabV2(num_classes=cfg.num_classes, dtype=dtype)
+    raise ValueError(f"unknown model {cfg.name!r}; options: bisenet, deeplabv2")
+
+
+def build_discriminator(cfg: ModelConfig):
+    return FCDiscriminator(
+        num_classes=cfg.num_classes,
+        ndf=cfg.disc_ndf,
+        dtype=jnp.dtype(cfg.compute_dtype),
+    )
+
+
+def init_model(
+    module, rng: jax.Array, input_shape: Tuple[int, ...], train: bool = True
+) -> Dict[str, Any]:
+    """Initialize variables ({'params', 'batch_stats'?}) with a dummy input.
+
+    Initialization runs under ``jax.eval_shape``-friendly abstract tracing via
+    ``module.init`` on a zeros input; weights follow each module's declared
+    initializer (Kaiming / N(0, 0.01) / N(0, 0.02) — parity with the
+    reference init schemes)."""
+    dummy = jnp.zeros(input_shape, jnp.float32)
+    return module.init(rng, dummy, train)
+
+
+def load_pretrained_backbone(variables: dict, path: str, model_name: str) -> dict:
+    """Graft converted backbone weights into a fresh variable pytree.
+
+    ``path`` is an .npz produced by ``cli/convert_torch_weights.py`` (the
+    offline torch->flax converter; the reference loads torchvision pretrained
+    weights at build time, ``build_contextpath.py:59-64`` /
+    ``deeplabv2.py:174-188``)."""
+    from .convert import load_npz_into_variables
+
+    return load_npz_into_variables(variables, path, model_name)

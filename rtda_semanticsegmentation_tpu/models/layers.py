@@ -1,0 +1,138 @@
+"""Shared NHWC building blocks for the model zoo.
+
+TPU-first conventions used throughout the models:
+
+- NHWC activation layout (the layout XLA prefers on TPU; the reference is
+  NCHW torch, e.g. ``build_bisenet.py``).
+- convolutions compute in a configurable dtype (bf16 by default) with f32
+  parameters; BatchNorm statistics and affine transform run in f32 for
+  numerical stability, output cast back to the compute dtype. XLA fuses the
+  BN + activation into the convolution epilogue.
+- explicit conv padding matching torch's arithmetic (out = floor((H+2p-k)/s)+1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+# torch nn.init.kaiming_normal_(mode='fan_in', nonlinearity='relu')
+kaiming_normal_fan_in = nn.initializers.variance_scaling(
+    2.0, "fan_in", "normal"
+)
+# torch default conv init used by torchvision resnets when training de novo
+he_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def normal_init(stddev: float):
+    return nn.initializers.normal(stddev=stddev)
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) -> BatchNorm -> optional ReLU.
+
+    Parity: reference ``ConvBlock`` (``build_bisenet.py:9-19``) with
+    BN eps 1e-5, momentum 0.1 (torch) == 0.9 (flax convention).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (2, 2)
+    padding: Any = ((1, 1), (1, 1))
+    dilation: int = 1
+    use_relu: bool = True
+    dtype: Dtype = jnp.bfloat16
+    kernel_init: Callable = kaiming_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="bn",
+        )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x.astype(self.dtype)
+
+
+def max_pool_torch(
+    x: jnp.ndarray,
+    window: int,
+    strides: int,
+    padding: int,
+    ceil_mode: bool = False,
+) -> jnp.ndarray:
+    """Max pool with torch semantics, incl. ``ceil_mode``.
+
+    torch's ceil_mode rounds the output size up; equivalent to extra
+    right/bottom -inf padding of ``(out_ceil-1)*s + k - (n + 2p)``. Needed by
+    DeepLabV2's stem pool (reference ``deeplabv2.py:77``: MaxPool2d(3, 2, 1,
+    ceil_mode=True))."""
+    n_h, n_w = x.shape[1], x.shape[2]
+
+    def out_size(n: int) -> int:
+        eff = n + 2 * padding - window
+        return -(-eff // strides) + 1 if ceil_mode else eff // strides + 1
+
+    def extra(n: int) -> int:
+        return (out_size(n) - 1) * strides + window - (n + 2 * padding)
+
+    pads = (
+        (0, 0),
+        (padding, padding + max(extra(n_h), 0)),
+        (padding, padding + max(extra(n_w), 0)),
+        (0, 0),
+    )
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, strides, strides, 1),
+        padding=pads,
+    )
+
+
+def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
+    """Mean over H, W in f32 (large spatial reductions are unsafe in bf16)."""
+    y = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=keepdims)
+    return y.astype(x.dtype)
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize to (H, W) with half-pixel centers.
+
+    Matches torch ``F.interpolate(mode='bilinear', align_corners=False)``
+    used throughout the reference (``build_bisenet.py:150-158,164``)."""
+    b, _, _, c = x.shape
+    out = jax.image.resize(
+        x.astype(jnp.float32), (b, size[0], size[1], c), method="bilinear"
+    )
+    return out.astype(x.dtype)
+
+
+def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    b = x.shape[0]
+    trailing = x.shape[3:] if x.ndim > 3 else ()
+    return jax.image.resize(x, (b, size[0], size[1], *trailing), method="nearest")
