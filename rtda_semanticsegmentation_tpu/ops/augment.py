@@ -1,0 +1,216 @@
+"""On-device, batched image augmentation.
+
+The reference augments on the host with albumentations inside 16 DataLoader
+worker processes (reference ``config.py:115-265``, SURVEY.md section 3.5).
+TPU-first redesign: the host ships raw **uint8** NHWC batches (4x less
+host->device bandwidth than f32) and the whole augmentation pipeline runs
+*inside the jitted train step* — batched, vectorized, keyed by
+``jax.random`` — where XLA fuses it with the normalization and the first
+convolution's input cast.
+
+Behavioral parity targets (albumentations semantics, distributional — exact
+RNG parity with numpy is impossible by construction):
+
+- ColorJitter(brightness=0.3, contrast=0.3, saturation=0.3, hue=0.1, p=0.5):
+  torchvision-style factors, the four sub-ops applied in a random order.
+- ISONoise(intensity=(0.1,0.3), color_shift=(0.01,0.05), p=0.5): the
+  albumentations algorithm — Poisson luminance noise in HLS space scaled by
+  the image's L-channel stddev, Gaussian hue shift in degrees.
+- CoarseDropout(1-8 holes, 20-60 px, fill=0, p=0.5): holes cut from the
+  image only (the mask is untouched, albumentations' default).
+- HorizontalFlip(p=0.5): geometric, applied to image AND label. Disabled in
+  the default 'all_four_combined' pipeline (the reference comments it out,
+  ``config.py:207``).
+- Normalize(ImageNet mean/std) always runs last.
+
+All ops are per-image independent (vmap over the batch with split keys).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AugmentConfig
+from .colorspace import hls_to_rgb, hsv_to_rgb, rgb_to_hls, rgb_to_hsv
+
+_GRAY_WEIGHTS = jnp.array([0.299, 0.587, 0.114])  # ITU-R 601 luma (torchvision)
+
+
+def _blend(a: jnp.ndarray, b: jnp.ndarray, ratio: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(ratio * a + (1.0 - ratio) * b, 0.0, 1.0)
+
+
+def _brightness(img, factor):
+    return jnp.clip(img * factor, 0.0, 1.0)
+
+
+def _contrast(img, factor):
+    mean = jnp.mean(img @ _GRAY_WEIGHTS)
+    return _blend(img, jnp.full_like(img, mean), factor)
+
+
+def _saturation(img, factor):
+    gray = (img @ _GRAY_WEIGHTS)[..., None]
+    return _blend(img, jnp.broadcast_to(gray, img.shape), factor)
+
+
+def _hue(img, shift_frac):
+    hsv = rgb_to_hsv(img)
+    hsv = hsv.at[..., 0].add(shift_frac * 360.0)
+    return jnp.clip(hsv_to_rgb(hsv), 0.0, 1.0)
+
+
+def color_jitter(
+    img: jnp.ndarray, key: jax.Array, cfg: AugmentConfig
+) -> jnp.ndarray:
+    """torchvision/albumentations-style ColorJitter on one (H, W, 3) image
+    in [0, 1]: the 4 sub-ops run in a uniformly random order with factors
+    drawn from the configured ranges."""
+    k_ord, k_b, k_c, k_s, k_h = jax.random.split(key, 5)
+    fb = jax.random.uniform(
+        k_b, minval=1.0 - cfg.cj_brightness, maxval=1.0 + cfg.cj_brightness
+    )
+    fc = jax.random.uniform(
+        k_c, minval=1.0 - cfg.cj_contrast, maxval=1.0 + cfg.cj_contrast
+    )
+    fs = jax.random.uniform(
+        k_s, minval=1.0 - cfg.cj_saturation, maxval=1.0 + cfg.cj_saturation
+    )
+    fh = jax.random.uniform(k_h, minval=-cfg.cj_hue, maxval=cfg.cj_hue)
+    order = jax.random.permutation(k_ord, 4)
+
+    def apply_op(i, im):
+        return jax.lax.switch(
+            order[i],
+            [
+                lambda x: _brightness(x, fb),
+                lambda x: _contrast(x, fc),
+                lambda x: _saturation(x, fs),
+                lambda x: _hue(x, fh),
+            ],
+            im,
+        )
+
+    return jax.lax.fori_loop(0, 4, apply_op, img)
+
+
+def iso_noise(
+    img: jnp.ndarray, key: jax.Array, cfg: AugmentConfig
+) -> jnp.ndarray:
+    """albumentations ISONoise on one (H, W, 3) image in [0, 1]:
+    L += Poisson(std(L) * intensity * 255)/255 * (1 - L);
+    H += Normal(0, color_shift * 360 * intensity) degrees."""
+    k_i, k_c, k_pois, k_norm = jax.random.split(key, 4)
+    intensity = jax.random.uniform(
+        k_i, minval=cfg.iso_intensity[0], maxval=cfg.iso_intensity[1]
+    )
+    color_shift = jax.random.uniform(
+        k_c, minval=cfg.iso_color_shift[0], maxval=cfg.iso_color_shift[1]
+    )
+    hls = rgb_to_hls(img)
+    stddev = jnp.std(hls[..., 1])
+    lam = stddev * intensity * 255.0
+    # Poisson(lam) via normal approximation (lam is O(10); jax.random.poisson
+    # with a traced rate is host-sync-unfriendly on TPU, and the normal
+    # approximation is distributionally indistinguishable after /255 scaling).
+    pois = jnp.maximum(
+        lam + jnp.sqrt(jnp.maximum(lam, 1e-6)) * jax.random.normal(k_pois, img.shape[:2]),
+        0.0,
+    )
+    color_noise = (
+        jax.random.normal(k_norm, img.shape[:2]) * color_shift * 360.0 * intensity
+    )
+    h = (hls[..., 0] + color_noise) % 360.0
+    l = jnp.clip(hls[..., 1] + (pois / 255.0) * (1.0 - hls[..., 1]), 0.0, 1.0)
+    out = hls_to_rgb(jnp.stack([h, l, hls[..., 2]], axis=-1))
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def coarse_dropout(
+    img: jnp.ndarray, key: jax.Array, cfg: AugmentConfig
+) -> jnp.ndarray:
+    """albumentations CoarseDropout on one (H, W, 3) image: 1..max_holes
+    rectangular holes of 20-60 px filled with ``cd_fill``. Static shapes:
+    max_holes boxes are always sampled; inactive ones are masked out."""
+    h_img, w_img = img.shape[0], img.shape[1]
+    k_n, k_h, k_w, k_y, k_x = jax.random.split(key, 5)
+    m = cfg.cd_max_holes
+    n = jax.random.randint(k_n, (), cfg.cd_min_holes, m + 1)
+    lo, hi = cfg.cd_hole_size
+    hh = jax.random.randint(k_h, (m,), lo, hi + 1)
+    ww = jax.random.randint(k_w, (m,), lo, hi + 1)
+    y1 = (jax.random.uniform(k_y, (m,)) * (h_img - hh)).astype(jnp.int32)
+    x1 = (jax.random.uniform(k_x, (m,)) * (w_img - ww)).astype(jnp.int32)
+    active = jnp.arange(m) < n
+    rows = jnp.arange(h_img)[:, None]  # (H, 1)
+    cols = jnp.arange(w_img)[None, :]  # (1, W)
+    inside = (
+        active[:, None, None]
+        & (rows[None] >= y1[:, None, None])
+        & (rows[None] < (y1 + hh)[:, None, None])
+        & (cols[None] >= x1[:, None, None])
+        & (cols[None] < (x1 + ww)[:, None, None])
+    ).any(axis=0)
+    return jnp.where(inside[..., None], jnp.float32(cfg.cd_fill), img)
+
+
+def _maybe(key, p, fn, img):
+    apply_it = jax.random.bernoulli(key, p)
+    return jax.lax.cond(apply_it, fn, lambda x: x, img)
+
+
+def normalize(images: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
+    """ImageNet normalization of [0,1] float images (any leading dims)."""
+    mean = jnp.asarray(cfg.norm_mean, jnp.float32)
+    std = jnp.asarray(cfg.norm_std, jnp.float32)
+    return (images - mean) / std
+
+
+def normalize_u8(images_u8: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
+    """uint8 NHWC -> normalized f32 (the eval / no-aug path)."""
+    return normalize(images_u8.astype(jnp.float32) / 255.0, cfg)
+
+
+def augment_batch(
+    images_u8: jnp.ndarray,
+    labels: jnp.ndarray,
+    key: jax.Array,
+    cfg: AugmentConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full train-time pipeline on a uint8 NHWC batch.
+
+    Returns (normalized f32 images, labels) — labels only change under
+    horizontal flip. Sub-op order matches the reference's active pipeline:
+    [HFlip] -> ColorJitter -> ISONoise -> CoarseDropout -> Normalize
+    (reference ``config.py:204-214``).
+    """
+    hflip, cj, iso, cd = cfg.flags
+    b = images_u8.shape[0]
+    imgs = images_u8.astype(jnp.float32) / 255.0
+
+    if hflip:
+        flip = jax.random.bernoulli(jax.random.fold_in(key, 0), cfg.prob, (b,))
+        imgs = jnp.where(flip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+        labels = jnp.where(flip[:, None, None], labels[:, :, ::-1], labels)
+
+    def per_image(img, k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        if cj:
+            img = _maybe(jax.random.fold_in(k1, 1), cfg.prob,
+                         lambda x: color_jitter(x, jax.random.fold_in(k1, 2), cfg), img)
+        if iso:
+            img = _maybe(jax.random.fold_in(k2, 1), cfg.prob,
+                         lambda x: iso_noise(x, jax.random.fold_in(k2, 2), cfg), img)
+        if cd:
+            img = _maybe(jax.random.fold_in(k3, 1), cfg.prob,
+                         lambda x: coarse_dropout(x, jax.random.fold_in(k3, 2), cfg), img)
+        return img
+
+    if cj or iso or cd:
+        keys = jax.random.split(jax.random.fold_in(key, 1), b)
+        imgs = jax.vmap(per_image)(imgs, keys)
+
+    return normalize(imgs, cfg), labels
