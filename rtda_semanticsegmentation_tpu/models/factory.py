@@ -50,7 +50,12 @@ def init_model(
     initializer (Kaiming / N(0, 0.01) / N(0, 0.02) — parity with the
     reference init schemes)."""
     dummy = jnp.zeros(input_shape, jnp.float32)
-    return module.init(rng, dummy, train)
+    try:
+        return module.init(rng, dummy, train)
+    except TypeError:
+        # Modules without a train-mode switch (FCDiscriminator has no BN /
+        # dropout, reference discriminator.py:25-60).
+        return module.init(rng, dummy)
 
 
 def load_pretrained_backbone(variables: dict, path: str, model_name: str) -> dict:

@@ -103,7 +103,9 @@ def max_pool_torch(
         (padding, padding + max(extra(n_w), 0)),
         (0, 0),
     )
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so XLA recognizes the max monoid and the op gets
+    # a reverse-mode autodiff rule (select-and-scatter).
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x,
         neg,

@@ -1,0 +1,26 @@
+"""SPMD parallelism: device mesh construction and sharding rules.
+
+The reference is a single-process, single-GPU trainer with no distributed
+code (SURVEY.md section 2, "Parallelism & distributed communication"). Here
+parallelism is a first-class subsystem: a ``jax.sharding.Mesh`` with a
+``data`` axis (batch sharding / DP) and a spare ``model`` axis, with all
+collectives (gradient all-reduce, cross-replica BatchNorm statistics, eval
+confusion-matrix reduction) emitted by XLA from sharding annotations and
+riding ICI.
+"""
+
+from .mesh import (
+    MeshContext,
+    batch_sharding,
+    create_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "MeshContext",
+    "batch_sharding",
+    "create_mesh",
+    "replicated",
+    "shard_batch",
+]

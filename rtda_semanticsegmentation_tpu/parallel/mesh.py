@@ -1,0 +1,104 @@
+"""Device mesh + sharding helpers.
+
+Design (see SURVEY.md section 2 "TPU-native equivalents"): a 2-D logical mesh
+``(data, model)``.
+
+- ``data`` — batch sharding. The jitted train step takes batch arrays sharded
+  ``P('data', ...)`` and replicated params; XLA inserts the gradient
+  all-reduce (psum over ICI) automatically from the sharding annotations.
+  BatchNorm reductions over the batch axis likewise become cross-replica
+  collectives, i.e. sync-BN falls out of SPMD for free.
+- ``model`` — a spare tensor-parallel axis so the mesh design scales beyond
+  DP (shard wide conv channels); every helper below is written against the
+  mesh, not a device count, so ``model>1`` requires only new param
+  PartitionSpecs, not new plumbing. The default is ``model=1`` (pure DP),
+  which matches the CNN workload (largest model ~43M params fits per chip).
+
+Multi-host: all helpers use ``jax.make_mesh`` over ``jax.devices()``, which
+under a multi-controller runtime (``jax.distributed.initialize``) spans hosts
+and slices; the data loader shards files by ``jax.process_index()``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshContext:
+    """A mesh plus the precomputed shardings the train/eval steps use."""
+
+    mesh: Mesh
+    data_axis: str
+    model_axis: str
+
+    @property
+    def num_data_shards(self) -> int:
+        return self.mesh.shape[self.data_axis]
+
+    def batch_spec(self, ndim: int) -> P:
+        """Shard the leading (batch) dim on ``data``, replicate the rest."""
+        return P(self.data_axis, *([None] * (ndim - 1)))
+
+    def batch_sharding(self, ndim: int = 4) -> NamedSharding:
+        return NamedSharding(self.mesh, self.batch_spec(ndim))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+
+def create_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> MeshContext:
+    """Build the (data, model) mesh from config.
+
+    ``data=-1`` (default) consumes all devices not claimed by ``model``.
+    """
+    cfg = cfg or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = max(1, cfg.model)
+    if n % model:
+        raise ValueError(f"{n} devices not divisible by model={model}")
+    data = cfg.data if cfg.data > 0 else n // model
+    if data * model != n:
+        # Allow using a subset of devices when explicitly requested.
+        if data * model > n:
+            raise ValueError(
+                f"mesh data={data} x model={model} needs {data * model} "
+                f"devices, have {n}"
+            )
+        devices = devices[: data * model]
+    dev_array = np.asarray(devices).reshape(data, model)
+    mesh = Mesh(dev_array, (cfg.data_axis_name, cfg.model_axis_name))
+    return MeshContext(
+        mesh=mesh,
+        data_axis=cfg.data_axis_name,
+        model_axis=cfg.model_axis_name,
+    )
+
+
+def batch_sharding(ctx: MeshContext, ndim: int = 4) -> NamedSharding:
+    return ctx.batch_sharding(ndim)
+
+
+def replicated(ctx: MeshContext) -> NamedSharding:
+    return ctx.replicated()
+
+
+def shard_batch(ctx: MeshContext, *arrays: Any):
+    """Device-put host arrays with the batch dim sharded over ``data``.
+
+    The global batch must divide by the data-axis size (the loader pads /
+    drops to guarantee this, mirroring the reference's ``drop_last=True``,
+    reference ``data_loader.py:209-214``).
+    """
+    out = tuple(
+        jax.device_put(a, ctx.batch_sharding(np.ndim(a))) for a in arrays
+    )
+    return out[0] if len(out) == 1 else out

@@ -1,0 +1,55 @@
+"""Optimizer construction.
+
+Parity with the reference's optimizer setup:
+
+- Generator: SGD(momentum 0.9, wd 1e-4, lr 2.5e-4) or Adam(lr 1e-4, wd 1e-4)
+  (reference ``config.py:85-95``, ``main.py:279-292``). The reference's
+  "weight_decay" is torch's L2-into-gradient for both SGD and Adam, i.e.
+  optax.add_decayed_weights *before* the optimizer kernel — NOT decoupled
+  AdamW. We match that.
+- Discriminator: Adam(lr 2.5e-5, betas (0.9, 0.99), wd 0)
+  (reference ``config.py:281-287``, ``main_adversarial.py:217-227``).
+- Poly LR decay applied per step inside the transformation chain
+  (reference mutates param_groups every batch, ``utils.py:27-58``).
+"""
+
+from __future__ import annotations
+
+import optax
+
+from ..config import AdversarialConfig, OptimizerConfig
+from .schedule import poly_lr_schedule
+
+
+def build_generator_tx(
+    cfg: OptimizerConfig, max_iter: int
+) -> optax.GradientTransformation:
+    schedule = poly_lr_schedule(cfg.learning_rate, max_iter, cfg.poly_power)
+    parts = []
+    if cfg.weight_decay:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    if cfg.name == "sgd":
+        # torch SGD(momentum): buf = m*buf + g; p -= lr*buf  -> trace + scale.
+        parts.append(optax.trace(decay=cfg.sgd_momentum, nesterov=False))
+    elif cfg.name == "adam":
+        parts.append(
+            optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=1e-8)
+        )
+    else:
+        raise ValueError(f"unknown optimizer {cfg.name!r}; options: sgd, adam")
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)
+
+
+def build_discriminator_tx(
+    cfg: AdversarialConfig, max_iter: int, poly_power: float = 0.9
+) -> optax.GradientTransformation:
+    schedule = poly_lr_schedule(cfg.disc_learning_rate, max_iter, poly_power)
+    parts = []
+    if cfg.disc_weight_decay:
+        parts.append(optax.add_decayed_weights(cfg.disc_weight_decay))
+    parts.append(
+        optax.scale_by_adam(b1=cfg.disc_adam_b1, b2=cfg.disc_adam_b2, eps=1e-8)
+    )
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)

@@ -1,0 +1,204 @@
+"""Jitted train steps — the whole per-batch loop body as one XLA program.
+
+The reference's four epoch engines (``train.py:28,163``,
+``train_lovasz.py:29,172``) differ only in loss composition; here they are
+one step factory with static flags, so each mode is a single compiled
+program containing: on-device augmentation, forward(s), loss, backward(s),
+poly-LR, and both optimizer updates. No GradScaler: bf16 has f32's exponent
+range.
+
+Mode parity map:
+
+- vanilla             == ``train_one_epoch``              (train.py:28)
+- use_lovasz          == ``train_one_epoch_lovasz``       (train_lovasz.py:29)
+- adversarial         == ``train_one_epoch_adversarial``  (train.py:163)
+- adversarial+lovasz  == ``train_one_epoch_adversarial_lovasz`` (train_lovasz.py:172)
+
+Adversarial semantics preserved exactly (reference ``train.py:238-313``):
+one generator forward on source and target; D updated first on
+stop-gradient'd softmax maps (source=real=1, target=fake=0, x0.5); G's loss
+is seg(source) [+ w*Lovasz] + lambda*BCE(D_new(softmax(pred_t)), 1), where
+D_new is the *post-update* discriminator (the reference steps D before G) and
+pred_t is the pre-update-G prediction — gradients flow through D_new into G,
+only G params update. BatchNorm batch statistics see source then target
+sequentially, matching the reference's two successive train-mode forwards.
+
+Under the SPMD mesh the batch arrives sharded on ``data``; XLA turns the
+loss mean into a cross-replica reduction, so gradient all-reduce and sync-BN
+are emitted automatically — there is no explicit collective code here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ExperimentConfig
+from ..ops.augment import augment_batch, normalize_u8
+from ..ops.losses import bce_with_logits, cross_entropy_with_ignore, lovasz_softmax
+from .state import ModelState, TrainState
+
+Metrics = Dict[str, jnp.ndarray]
+
+REAL_LABEL = 1.0  # source domain (reference train.py:188-189)
+FAKE_LABEL = 0.0  # target domain
+
+
+def _apply_train(mstate: ModelState, params, batch_stats, x):
+    """Train-mode forward; returns (primary logits, new batch_stats).
+
+    Models return (logits, aux1, aux2) in train mode; like every reference
+    train loop we use outputs[0] only (``train.py:113-120``) — the unused aux
+    heads are dead code XLA eliminates, so parity costs nothing.
+    """
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+        outs, mutated = mstate.apply_fn(
+            variables, x, True, mutable=["batch_stats"]
+        )
+        new_bs = mutated["batch_stats"]
+    else:
+        outs = mstate.apply_fn(variables, x, True)
+        new_bs = batch_stats
+    logits = outs[0] if isinstance(outs, tuple) else outs
+    return logits, new_bs
+
+
+def _seg_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, cfg: ExperimentConfig
+) -> Tuple[jnp.ndarray, Metrics]:
+    ce = cross_entropy_with_ignore(logits, labels, cfg.loss.ignore_index)
+    if cfg.loss.use_lovasz:
+        probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        lov = lovasz_softmax(probas, labels, cfg.loss.ignore_index)
+        total = ce + cfg.loss.lovasz_weight * lov
+        return total, {"loss_ce": ce, "loss_lovasz": lov}
+    return ce, {"loss_ce": ce}
+
+
+def _prep_source(batch, key, cfg: ExperimentConfig):
+    """On-device augmentation + normalization of the uint8 source batch.
+
+    The stochastic pipeline applies only to the GTA5 source stream; a
+    Cityscapes train source gets resize+normalize only (reference
+    ``config.py:204-241``). Resize happens host-side at decode.
+    """
+    images_u8, labels = batch["image"], batch["label"]
+    if cfg.data.train_dataset == "gta5" and cfg.augment.pipeline != "no_new_aug":
+        return augment_batch(images_u8, labels, key, cfg.augment)
+    return normalize_u8(images_u8, cfg.augment), labels
+
+
+def make_train_step(
+    cfg: ExperimentConfig,
+    g_schedule: Callable,
+    d_schedule: Optional[Callable] = None,
+):
+    """Build the per-batch step fn for the configured mode.
+
+    Returns ``step(state, batch, rng) -> (state, metrics)`` where ``batch``
+    holds uint8 NHWC ``image``, int32 NHW ``label`` and, in adversarial mode,
+    uint8 NHWC ``target_image``. ``rng`` is a base key folded with
+    ``state.step`` so each step draws fresh augmentation noise.
+    """
+    adversarial = cfg.adversarial.enabled
+
+    def source_step(state: TrainState, batch, rng) -> Tuple[TrainState, Metrics]:
+        key = jax.random.fold_in(rng, state.step)
+        images, labels = _prep_source(batch, key, cfg)
+        g = state.generator
+        compute_dtype = jnp.dtype(cfg.model.compute_dtype)
+        images = images.astype(compute_dtype)
+
+        def loss_fn(params):
+            logits, new_bs = _apply_train(g, params, g.batch_stats, images)
+            loss, parts = _seg_loss(logits, labels, cfg)
+            return loss, (new_bs, parts)
+
+        (loss, (new_bs, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(g.params)
+        new_g = g.apply_gradients(grads).replace(batch_stats=new_bs)
+        metrics = {
+            "loss": loss,
+            "lr": g_schedule(state.step),
+            **parts,
+        }
+        new_state = state.replace(generator=new_g, step=state.step + 1)
+        return new_state, metrics
+
+    def adversarial_step(
+        state: TrainState, batch, rng
+    ) -> Tuple[TrainState, Metrics]:
+        key = jax.random.fold_in(rng, state.step)
+        images_s, labels_s = _prep_source(batch, key, cfg)
+        images_t = normalize_u8(batch["target_image"], cfg.augment)
+        compute_dtype = jnp.dtype(cfg.model.compute_dtype)
+        images_s = images_s.astype(compute_dtype)
+        images_t = images_t.astype(compute_dtype)
+
+        g, d = state.generator, state.discriminator
+
+        def g_forward(params):
+            """Source then target forward — BN stats updated sequentially,
+            matching the reference's two successive train-mode calls."""
+            pred_s, bs1 = _apply_train(g, params, g.batch_stats, images_s)
+            pred_t, bs2 = _apply_train(g, params, bs1, images_t)
+            return pred_s, pred_t, bs2
+
+        # --- Discriminator step (reference train.py:250-278) ---
+        # Uses pre-update-G predictions, detached.
+        pred_s0, pred_t0, _ = g_forward(g.params)
+        sm_s = jax.lax.stop_gradient(
+            jax.nn.softmax(pred_s0.astype(jnp.float32), axis=-1)
+        ).astype(compute_dtype)
+        sm_t = jax.lax.stop_gradient(
+            jax.nn.softmax(pred_t0.astype(jnp.float32), axis=-1)
+        ).astype(compute_dtype)
+
+        def d_loss_fn(d_params):
+            out_s = d.apply_fn({"params": d_params}, sm_s)
+            out_t = d.apply_fn({"params": d_params}, sm_t)
+            loss_real = bce_with_logits(out_s, REAL_LABEL)
+            loss_fake = bce_with_logits(out_t, FAKE_LABEL)
+            return 0.5 * (loss_real + loss_fake)
+
+        loss_d, d_grads = jax.value_and_grad(d_loss_fn)(d.params)
+        new_d = d.apply_gradients(d_grads)
+
+        # --- Generator step (reference train.py:280-306) ---
+        # Recomputes the same forward (XLA CSEs it with the one above) so the
+        # gradient flows; adv term goes through the *updated* D.
+        def g_loss_fn(g_params):
+            pred_s, pred_t, new_bs = g_forward(g_params)
+            loss_seg, parts = _seg_loss(pred_s, labels_s, cfg)
+            sm_t_live = jax.nn.softmax(
+                pred_t.astype(jnp.float32), axis=-1
+            ).astype(compute_dtype)
+            d_out = new_d.apply_fn({"params": new_d.params}, sm_t_live)
+            loss_adv = bce_with_logits(d_out, REAL_LABEL)
+            total = loss_seg + cfg.adversarial.lambda_adv * loss_adv
+            parts = {**parts, "loss_seg": loss_seg, "loss_adv_g": loss_adv}
+            return total, (new_bs, parts)
+
+        (loss_g, (new_bs, parts)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(g.params)
+        new_g = g.apply_gradients(g_grads).replace(batch_stats=new_bs)
+
+        metrics = {
+            "loss": loss_g,
+            "loss_d": loss_d,
+            "lr": g_schedule(state.step),
+            "lr_d": d_schedule(state.step),
+            **parts,
+        }
+        new_state = state.replace(
+            generator=new_g, discriminator=new_d, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return adversarial_step if adversarial else source_step

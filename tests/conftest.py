@@ -8,11 +8,18 @@ platform devices so mesh-parallel code compiles and executes without TPUs
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# A sitecustomize may have pre-registered and pinned an accelerator platform
+# (and already imported jax); override in-process before any backend
+# initializes so tests always run on the 8-device virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

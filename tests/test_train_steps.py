@@ -1,0 +1,257 @@
+"""Train-step engine tests: all four modes + SPMD data parallelism.
+
+Runs the real BiSeNet/FCDiscriminator at tiny resolution on the 8-device
+virtual CPU mesh (SURVEY.md section 4's multi-chip test pattern).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtda_semanticsegmentation_tpu.config import ExperimentConfig
+from rtda_semanticsegmentation_tpu.models.factory import (
+    build_discriminator,
+    build_model,
+    init_model,
+)
+from rtda_semanticsegmentation_tpu.parallel import create_mesh, shard_batch
+from rtda_semanticsegmentation_tpu.train.evaluate import evaluate, make_eval_step
+from rtda_semanticsegmentation_tpu.train.optim import (
+    build_discriminator_tx,
+    build_generator_tx,
+)
+from rtda_semanticsegmentation_tpu.train.schedule import poly_lr_schedule
+from rtda_semanticsegmentation_tpu.train.state import ModelState, TrainState
+from rtda_semanticsegmentation_tpu.train.steps import make_train_step
+
+H, W, B, C = 64, 64, 4, 19
+MAX_ITER = 100
+
+
+def tiny_config(**kw) -> ExperimentConfig:
+    cfg = ExperimentConfig()
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, gta5_size=(H, W), cityscapes_size=(H, W)
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=B),
+        # float32 on CPU for numerics; the config default (bf16) is for TPU.
+        model=dataclasses.replace(cfg.model, compute_dtype="float32"),
+    )
+    for k, v in kw.items():
+        section = getattr(cfg, k.split("__")[0])
+        cfg = cfg.replace(
+            **{k.split("__")[0]: dataclasses.replace(section, **{k.split("__")[1]: v})}
+        )
+    return cfg
+
+
+def make_batch(seed=0, target=False):
+    rng = np.random.RandomState(seed)
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 256, (B, H, W, 3), np.uint8)),
+        "label": jnp.asarray(rng.randint(0, C, (B, H, W), np.int32)),
+    }
+    # Sprinkle ignore pixels.
+    batch["label"] = batch["label"].at[:, 0, :].set(255)
+    if target:
+        batch["target_image"] = jnp.asarray(
+            rng.randint(0, 256, (B, H, W, 3), np.uint8)
+        )
+    return batch
+
+
+def build_state(cfg: ExperimentConfig, with_disc=False) -> TrainState:
+    model = build_model(cfg.model)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    tx = build_generator_tx(cfg.optimizer, MAX_ITER)
+    g = ModelState.create(model.apply, variables, tx)
+    d = None
+    if with_disc:
+        disc = build_discriminator(cfg.model)
+        dvars = init_model(disc, jax.random.PRNGKey(1), (1, H, W, C))
+        d = ModelState.create(
+            disc.apply, dvars, build_discriminator_tx(cfg.adversarial, MAX_ITER)
+        )
+    return TrainState.create(g, d)
+
+
+def fresh(state: TrainState) -> TrainState:
+    """Deep-copy a state so donation in one test can't consume another's."""
+    return jax.tree.map(jnp.copy, state)
+
+
+@pytest.fixture(scope="module")
+def vanilla_setup():
+    cfg = tiny_config(augment__pipeline="no_new_aug")
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    step = jax.jit(make_train_step(cfg, g_sched), donate_argnums=0)
+    return cfg, step, build_state(cfg)
+
+
+def test_vanilla_step_runs_and_counts(vanilla_setup):
+    cfg, step, state = vanilla_setup
+    state = fresh(state)
+    batch, rng = make_batch(), jax.random.PRNGKey(7)
+    state1, m1 = step(state, batch, rng)
+    assert int(state1.step) == 1
+    assert np.isfinite(float(m1["loss"]))
+    # lr follows the poly schedule at the pre-update step index
+    expected_lr = cfg.optimizer.learning_rate * (1 - 0 / MAX_ITER) ** 0.9
+    assert float(m1["lr"]) == pytest.approx(expected_lr, rel=1e-6)
+    state2, m2 = step(state1, batch, rng)
+    assert int(state2.step) == 2
+    expected_lr2 = cfg.optimizer.learning_rate * (1 - 1 / MAX_ITER) ** 0.9
+    assert float(m2["lr"]) == pytest.approx(expected_lr2, rel=1e-5)
+
+
+def test_vanilla_loss_decreases_on_fixed_batch(vanilla_setup):
+    cfg, step, state = vanilla_setup
+    state = fresh(state)
+    batch, rng = make_batch(3), jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_lovasz_mode_adds_component():
+    cfg = tiny_config(loss__use_lovasz=True, augment__pipeline="no_new_aug")
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    step = jax.jit(make_train_step(cfg, g_sched))
+    state = build_state(cfg)
+    state, m = step(state, make_batch(), jax.random.PRNGKey(0))
+    assert {"loss", "loss_ce", "loss_lovasz"} <= set(m)
+    # total = ce + 0.5 * lovasz (reference train_lovasz.py:98-105)
+    assert float(m["loss"]) == pytest.approx(
+        float(m["loss_ce"]) + 0.5 * float(m["loss_lovasz"]), rel=1e-5
+    )
+
+
+def test_augmented_pipeline_step_runs():
+    cfg = tiny_config(augment__pipeline="all_four_combined")
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    step = jax.jit(make_train_step(cfg, g_sched))
+    state = build_state(cfg)
+    state, m = step(state, make_batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+
+@pytest.fixture(scope="module")
+def adv_setup():
+    cfg = tiny_config(adversarial__enabled=True, augment__pipeline="no_new_aug")
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    d_sched = poly_lr_schedule(cfg.adversarial.disc_learning_rate, MAX_ITER)
+    step = jax.jit(make_train_step(cfg, g_sched, d_sched))
+    return cfg, step, build_state(cfg, with_disc=True)
+
+
+def test_adversarial_step_updates_both_nets(adv_setup):
+    cfg, step, state = adv_setup
+    state = fresh(state)
+    batch = make_batch(target=True)
+    state1, m = step(state, batch, jax.random.PRNGKey(0))
+    for k in ("loss", "loss_seg", "loss_adv_g", "loss_d", "lr", "lr_d"):
+        assert k in m and np.isfinite(float(m[k])), k
+    # Both param trees changed.
+    g_diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.generator.params, state1.generator.params,
+    )
+    d_diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.discriminator.params, state1.discriminator.params,
+    )
+    assert max(jax.tree.leaves(g_diff)) > 0
+    assert max(jax.tree.leaves(d_diff)) > 0
+    # Fresh D on balanced real/fake: loss_D near log(2)/1... just sanity bound
+    assert 0.0 < float(m["loss_d"]) < 2.0
+
+
+def test_adversarial_total_is_seg_plus_lambda_adv(adv_setup):
+    cfg, step, state = adv_setup
+    state = fresh(state)
+    state, m = step(state, make_batch(target=True), jax.random.PRNGKey(1))
+    assert float(m["loss"]) == pytest.approx(
+        float(m["loss_seg"]) + cfg.adversarial.lambda_adv * float(m["loss_adv_g"]),
+        rel=1e-5,
+    )
+
+
+def test_dp_sharded_step_matches_single_device():
+    """The 8-way data-parallel step must produce the same loss and params
+    as the unsharded step — DP is a performance transform, not a semantic
+    one."""
+    cfg = tiny_config(augment__pipeline="no_new_aug")
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    step = make_train_step(cfg, g_sched)
+    batch = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).randint(0, 256, (8, H, W, 3), np.uint8)
+        ),
+        "label": jnp.asarray(
+            np.random.RandomState(1).randint(0, C, (8, H, W), np.int32)
+        ),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    state0 = build_state(cfg)
+    _, m_single = jax.jit(step)(state0, batch, rng)
+
+    ctx = create_mesh()
+    assert ctx.num_data_shards == 8
+    sharded_batch = {
+        "image": shard_batch(ctx, np.asarray(batch["image"])),
+        "label": shard_batch(ctx, np.asarray(batch["label"])),
+    }
+    state1 = jax.device_put(build_state(cfg), ctx.replicated())
+    new_state, m_dp = jax.jit(step)(state1, sharded_batch, rng)
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_single["loss"]), rtol=2e-5
+    )
+
+
+def test_eval_engine_matches_numpy_oracle():
+    cfg = tiny_config()
+    model = build_model(cfg.model)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3), train=False)
+    eval_step = jax.jit(make_eval_step(cfg, model.apply))
+
+    rng = np.random.RandomState(0)
+    batches = []
+    for i in range(2):
+        imgs = rng.randint(0, 256, (B, H, W, 3), np.uint8)
+        labels = rng.randint(0, C, (B, H, W)).astype(np.int32)
+        labels[:, :2, :] = 255
+        valid = np.ones(B, bool)
+        if i == 1:
+            valid[-1] = False  # padded image
+        batches.append((jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(valid)))
+
+    out = evaluate(eval_step, variables, batches, C)
+    assert out["num_images"] == 7
+    assert 0.0 <= out["miou"] <= 1.0
+    assert out["per_class_iou"].shape == (C,)
+    # Oracle: recompute hist from argmax on host.
+    hist = np.zeros((C, C), np.int64)
+    for imgs, labels, valid in batches:
+        from rtda_semanticsegmentation_tpu.ops.augment import normalize_u8
+
+        logits = model.apply(
+            variables, normalize_u8(imgs, cfg.augment), False
+        )
+        preds = np.asarray(jnp.argmax(logits, -1))
+        labels = np.asarray(labels)
+        for b in range(B):
+            if not valid[b]:
+                continue
+            l, p = labels[b].ravel(), preds[b].ravel()
+            m = l != 255
+            hist += np.bincount(
+                C * l[m] + p[m], minlength=C * C
+            ).reshape(C, C)
+    np.testing.assert_array_equal(out["hist"], hist)
