@@ -1,0 +1,120 @@
+"""Benchmark: BiSeNet-ResNet18 inference throughput at 1024x512 on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Headline metric matches BASELINE.json's north star: 1024x512 images/sec/chip
+(target >= 300 on TPU v5e). Methodology mirrors the reference profiler
+(``utils.py:292-382``: 10 warmup + 100 timed iterations with device sync),
+but batched — the reference times batch 1; real-time *throughput* on TPU
+wants the MXU fed, so the headline is best-batch throughput and the batch-1
+p50 latency is reported alongside on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 300.0  # BASELINE.md: >=300 img/s/chip @ 1024x512, v5e
+H, W = 512, 1024
+WARMUP, ITERS = 10, 100
+
+
+def _build():
+    from rtda_semanticsegmentation_tpu.config import ExperimentConfig
+    from rtda_semanticsegmentation_tpu.models.factory import build_model, init_model
+
+    cfg = ExperimentConfig()
+    model = build_model(cfg.model)  # bisenet-resnet18, bf16 compute
+    variables = init_model(
+        model, jax.random.PRNGKey(0), (1, H, W, 3), train=False
+    )
+
+    @jax.jit
+    def forward(variables, images):
+        return model.apply(variables, images, False)
+
+    return variables, forward
+
+
+def _time_batch(forward, variables, batch: int) -> tuple[float, float]:
+    """Returns (device seconds/iter, host-roundtrip seconds/iter).
+
+    Device time: ITERS forwards run inside ONE compiled ``lax.fori_loop``
+    (input scaled by the loop index so nothing is loop-invariant, outputs
+    accumulated into the carry so nothing is dead) with a single scalar
+    fetch at the end — amortizing any host<->device transport latency.
+    ``block_until_ready`` alone is NOT trusted: experimental PJRT
+    transports can treat it as a no-op, and a per-iteration scalar fetch
+    measures transport RTT instead of the device. Both failure modes were
+    observed on this runner (62k img/s and 28 img/s respectively for the
+    same model)."""
+    images = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (batch, H, W, 3), np.uint8)
+    ).astype(jnp.bfloat16)
+
+    @jax.jit
+    def loop(variables, images, n):
+        def body(i, acc):
+            imgs = images * (1.0 + 1e-6 * i)  # defeat loop-invariant hoisting
+            out = forward(variables, imgs)
+            return acc + jnp.sum(jnp.argmax(out, -1))
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.int32))
+
+    float(loop(variables, images, WARMUP))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(variables, images, ITERS))
+    device_per_iter = (time.perf_counter() - t0) / ITERS
+
+    @jax.jit
+    def single(variables, images):
+        return jnp.sum(jnp.argmax(forward(variables, images), -1))
+
+    float(single(variables, images))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(single(variables, images))
+    rtt_per_iter = (time.perf_counter() - t0) / 10
+    return device_per_iter, rtt_per_iter
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+    variables, forward = _build()
+
+    # Throughput: scan batch sizes, keep the best device img/s.
+    best_ips, best_b = 0.0, 1
+    for b in (1, 2, 4, 8, 16):
+        dev, rtt = _time_batch(forward, variables, b)
+        ips = b / dev
+        print(
+            f"batch={b}: {ips:.1f} img/s device ({dev * 1e3:.2f} ms/iter; "
+            f"single-call incl. host RTT {rtt * 1e3:.2f} ms)",
+            file=sys.stderr,
+        )
+        if ips > best_ips:
+            best_ips, best_b = ips, b
+    print(f"best: batch={best_b}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bisenet_r18_infer_images_per_sec_1024x512",
+                "value": round(best_ips, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(best_ips / BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -9,3 +9,17 @@ from .labels import (
     rgb_label_to_train_ids,
     train_ids_to_rgb,
 )
+from .datasets import (
+    CityscapesDataset,
+    GTA5Dataset,
+    SegmentationDataset,
+    SyntheticDataset,
+    build_dataset,
+)
+from .loader import (
+    InfiniteLoader,
+    Loader,
+    eval_batches,
+    prefetch_to_device,
+    zip_source_target,
+)

@@ -1,0 +1,202 @@
+"""Host-side batch loading: threaded decode, shuffling, device prefetch.
+
+Counterpart of reference ``data_loader.py`` (component #8/#9 in SURVEY.md)
+redesigned for the TPU input pipeline:
+
+- The host produces **uint8 NHWC** batches only (decode + resize); all
+  normalization/augmentation runs on device inside the train step. That
+  shrinks host->device traffic 4x vs f32 and moves per-pixel work onto the
+  chip (the reference ships normalized f32 CHW tensors from 16 worker
+  processes, ``config.py:74``).
+- ``Loader`` — epoch iterator with seeded per-epoch shuffling, ``drop_last``
+  train semantics (reference ``data_loader.py:209-214``), and a thread pool
+  for decode (PIL releases the GIL in its C codecs).
+- ``InfiniteLoader`` — transparently re-iterates with a new shuffle when
+  exhausted (reference ``InfiniteDataLoader``, ``data_loader.py:26-49``),
+  decoupling target-stream length from source epoch length in UDA.
+- ``prefetch_to_device`` — keeps N batches in flight, device_put with the
+  mesh batch sharding so each host feeds only its shard (multi-host DP).
+- ``eval_batches`` — batched eval with tail padding + validity mask (the
+  reference validates at batch 1, ``data_loader.py:148-156``; we batch and
+  mask instead).
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from .datasets import SegmentationDataset
+
+
+class Loader:
+    """Iterable over epochs of (images u8 NHWC, labels i32 NHW) batches."""
+
+    def __init__(
+        self,
+        dataset: SegmentationDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 42,
+        num_workers: int = 8,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{process_count} processes"
+            )
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return len(self)
+
+    def _order(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            return np.random.RandomState(self.seed + epoch).permutation(n)
+        return np.arange(n)
+
+    def _ensure_pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers, thread_name_prefix="decode"
+            )
+        return self._pool
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._order(self.epoch)
+        self.epoch += 1
+        bs = self.batch_size
+        n_batches = len(order) // bs if self.drop_last else -(-len(order) // bs)
+        pool = self._ensure_pool()
+        # Each host decodes only its slice of every global batch.
+        per_proc = bs // self.process_count
+        lo = self.process_index * per_proc
+
+        def decode_batch(batch_idx: int) -> dict:
+            idxs = order[batch_idx * bs : (batch_idx + 1) * bs]
+            idxs = idxs[lo : lo + per_proc]
+            samples = list(pool.map(self.dataset.load, idxs))
+            images = np.stack([s[0] for s in samples])
+            labels = np.stack([s[1] for s in samples])
+            return {"image": images, "label": labels}
+
+        # Software pipelining: decode batch k+1 while batch k is consumed.
+        nxt = None
+        for b in range(n_batches):
+            cur = nxt if nxt is not None else decode_batch(b)
+            if b + 1 < n_batches:
+                fut = pool.submit(decode_batch, b + 1)
+            else:
+                fut = None
+            yield cur
+            nxt = fut.result() if fut is not None else None
+
+
+class InfiniteLoader:
+    """Never-ending batch stream; reshuffles each pass (reference
+    ``data_loader.py:26-49``)."""
+
+    def __init__(self, loader: Loader):
+        self.loader = loader
+        self._it = iter(loader)
+
+    def __next__(self) -> dict:
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = iter(self.loader)
+            return next(self._it)
+
+    def __iter__(self):
+        return self
+
+
+def prefetch_to_device(iterator, mesh_ctx=None, depth: int = 2):
+    """Keep ``depth`` batches resident on device ahead of the consumer.
+
+    With a mesh context, arrays are device_put with batch sharding (each
+    host's shard placed on its local devices); without one they are placed
+    on the default device. Overlaps H2D DMA with the previous step's
+    compute — the TPU analog of the reference's ``pin_memory`` +
+    worker-process pipeline.
+    """
+    import jax
+
+    def put(batch: dict):
+        if mesh_ctx is None:
+            return {k: jax.device_put(v) for k, v in batch.items()}
+        return {
+            k: jax.device_put(v, mesh_ctx.batch_sharding(np.ndim(v)))
+            for k, v in batch.items()
+        }
+
+    queue = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
+def zip_source_target(source_iter, target_inf: InfiniteLoader):
+    """Pair each source batch with the next target batch (UDA streams;
+    reference ``train.py:219``). Skips nothing: batch shapes are static by
+    construction (drop_last), unlike the reference's runtime mismatch skip
+    (``train.py:223-227``)."""
+    for batch in source_iter:
+        tgt = next(target_inf)
+        yield {**batch, "target_image": tgt["image"]}
+
+
+def eval_batches(
+    dataset: SegmentationDataset,
+    batch_size: int,
+    num_workers: int = 8,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Deterministic-order eval batches with padded tail + validity mask."""
+    n = len(dataset)
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            samples = list(pool.map(dataset.load, idxs))
+            images = np.stack([s[0] for s in samples])
+            labels = np.stack([s[1] for s in samples])
+            valid = np.ones(len(idxs), bool)
+            pad = batch_size - len(idxs)
+            if pad:
+                images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+                labels = np.concatenate([labels, np.zeros((pad,) + labels.shape[1:], labels.dtype)])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            yield images, labels, valid

@@ -1,0 +1,348 @@
+"""Experiment orchestration: the reference's ``main.py`` / ``main_adversarial.py``
+pipelines as one config-driven function.
+
+Pipeline parity (reference ``main.py:44-628``, ``main_adversarial.py:37-534``):
+seeds -> loaders -> model(s) -> optimizer(s) -> losses -> resume -> epoch loop
+(train epoch, validate, best/periodic checkpoint) -> reload best -> final
+report (mIoU %, latency, GFLOPs, params M, per-class IoU table) -> summary.
+
+TPU-native differences: the per-batch body is one jitted SPMD program over
+the device mesh; validation is batched on device; checkpoints are Orbax
+pytrees; observability works offline (jsonl) with the same metric keys.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data.datasets import build_dataset
+from ..data.labels import CITYSCAPES_ID_TO_NAME
+from ..data.loader import (
+    InfiniteLoader,
+    Loader,
+    eval_batches,
+    prefetch_to_device,
+    zip_source_target,
+)
+from ..models.factory import (
+    build_discriminator,
+    build_model,
+    init_model,
+    load_pretrained_backbone,
+)
+from ..obs import make_logger, performance_metrics
+from ..parallel import create_mesh
+from .checkpoint import CheckpointManager
+from .evaluate import evaluate, make_eval_step
+from .optim import build_discriminator_tx, build_generator_tx
+from .schedule import poly_lr_schedule
+from .state import ModelState, TrainState
+from .steps import make_train_step
+
+
+class Trainer:
+    """Everything an experiment needs, built once from its config."""
+
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        t = cfg.train
+
+        # --- data (reference get_loaders, data_loader.py:53-224) ---
+        self.train_ds = build_dataset(
+            cfg.data.train_dataset, "train", cfg.train_size, cfg.data
+        )
+        self.val_ds = build_dataset(
+            cfg.data.val_dataset, "val", cfg.data.cityscapes_size, cfg.data
+        )
+        self.train_loader = Loader(
+            self.train_ds,
+            t.batch_size,
+            shuffle=True,
+            drop_last=True,
+            seed=t.seed,
+            num_workers=cfg.data.num_workers,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        self.target_loader: Optional[InfiniteLoader] = None
+        if cfg.adversarial.enabled:
+            target_ds = build_dataset(
+                cfg.data.adversarial_target_dataset,
+                cfg.data.adversarial_target_split,
+                cfg.data.cityscapes_size,
+                cfg.data,
+            )
+            self.target_loader = InfiniteLoader(
+                Loader(
+                    target_ds,
+                    t.batch_size,
+                    shuffle=True,
+                    drop_last=True,
+                    seed=t.seed + 1,
+                    num_workers=cfg.data.num_workers,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count(),
+                )
+            )
+
+        self.steps_per_epoch = t.steps_per_epoch or len(self.train_loader)
+        if self.steps_per_epoch <= 0:
+            raise ValueError("empty training dataset")
+        self.max_iter = t.epochs * self.steps_per_epoch
+
+        # --- models + optimizers (reference model_loader.py, main.py:279-310) ---
+        h, w = cfg.train_size
+        self.model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(t.seed)
+        g_vars = init_model(self.model, rng, (1, h, w, 3))
+        if cfg.model.pretrained_backbone:
+            g_vars = load_pretrained_backbone(
+                g_vars, cfg.model.pretrained_backbone, cfg.model.name
+            )
+        g = ModelState.create(
+            self.model.apply,
+            g_vars,
+            build_generator_tx(cfg.optimizer, self.max_iter),
+        )
+        d = None
+        if cfg.adversarial.enabled:
+            self.disc = build_discriminator(cfg.model)
+            d_vars = init_model(
+                self.disc,
+                jax.random.fold_in(rng, 1),
+                (1, h, w, cfg.model.num_classes),
+            )
+            d = ModelState.create(
+                self.disc.apply,
+                d_vars,
+                build_discriminator_tx(
+                    cfg.adversarial, self.max_iter, cfg.optimizer.poly_power
+                ),
+            )
+        self.state = TrainState.create(g, d)
+
+        # --- mesh + compiled steps ---
+        self.mesh_ctx = create_mesh(cfg.mesh)
+        n_data = self.mesh_ctx.num_data_shards
+        if t.batch_size % n_data or cfg.data.eval_batch_size % n_data:
+            raise ValueError(
+                f"batch sizes (train {t.batch_size}, eval "
+                f"{cfg.data.eval_batch_size}) must be divisible by the data "
+                f"axis size {n_data}; set mesh.data or adjust batch sizes"
+            )
+        self.state = jax.device_put(self.state, self.mesh_ctx.replicated())
+        g_sched = poly_lr_schedule(
+            cfg.optimizer.learning_rate, self.max_iter, cfg.optimizer.poly_power
+        )
+        d_sched = (
+            poly_lr_schedule(
+                cfg.adversarial.disc_learning_rate,
+                self.max_iter,
+                cfg.optimizer.poly_power,
+            )
+            if cfg.adversarial.enabled
+            else None
+        )
+        self.train_step = jax.jit(
+            make_train_step(cfg, g_sched, d_sched), donate_argnums=0
+        )
+        self.eval_step = jax.jit(make_eval_step(cfg, self.model.apply))
+        self.ckpt = CheckpointManager(cfg)
+        self.aug_rng = jax.random.PRNGKey(t.seed + 17)
+
+    # -- pieces ---------------------------------------------------------
+
+    def train_batches(self):
+        """One epoch of device-resident batches (UDA pairing if enabled).
+
+        ``train.steps_per_epoch`` (when set) truncates the epoch — used for
+        smoke runs and step-budgeted experiments; None walks the full
+        dataset like the reference."""
+        it = iter(self.train_loader)
+        if self.target_loader is not None:
+            it = zip_source_target(it, self.target_loader)
+        if self.cfg.train.steps_per_epoch is not None:
+            it = itertools.islice(it, self.cfg.train.steps_per_epoch)
+        return prefetch_to_device(
+            it, self.mesh_ctx, self.cfg.data.prefetch_batches
+        )
+
+    def g_variables(self) -> dict:
+        return self.state.generator.variables
+
+    def validate(self) -> Dict[str, Any]:
+        return evaluate(
+            self.eval_step,
+            self.g_variables(),
+            eval_batches(
+                self.val_ds,
+                self.cfg.data.eval_batch_size,
+                self.cfg.data.num_workers,
+            ),
+            self.cfg.model.num_classes,
+        )
+
+
+def _per_class_table(per_class_ious) -> str:
+    lines = [f"{'class':<14s} IoU"]
+    for cid, iou in enumerate(np.asarray(per_class_ious)):
+        lines.append(f"{CITYSCAPES_ID_TO_NAME.get(cid, str(cid)):<14s} {iou:.4f}")
+    return "\n".join(lines)
+
+
+def run_experiment(
+    cfg: ExperimentConfig,
+    run_name: Optional[str] = None,
+    measure_performance: bool = True,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Train + validate + checkpoint + final report. Returns the report dict."""
+
+    def say(msg: str) -> None:
+        if verbose and jax.process_index() == 0:
+            print(msg, flush=True)
+
+    trainer = Trainer(cfg)
+    logger = make_logger(cfg, run_name)
+    t = cfg.train
+    state = trainer.state
+    best_per_class = None
+    start_epoch = 0
+
+    # --- resume (reference main.py:321-349) ---
+    if t.resume_checkpoint:
+        out = trainer.ckpt.restore_into(state, t.resume_checkpoint)
+        if out is None:
+            say(
+                f"resume requested ({t.resume_checkpoint}) but no checkpoint "
+                f"found under {trainer.ckpt.root}; starting fresh"
+            )
+        else:
+            state, meta = out
+            state = jax.device_put(state, trainer.mesh_ctx.replicated())
+            start_epoch = meta["epoch"] + 1
+            best_per_class = meta.get("per_class_ious")
+            say(
+                f"resumed from epoch {meta['epoch']} "
+                f"(step {int(state.step)}, best mIoU {meta['best_miou']:.4f})"
+            )
+
+    say(
+        f"mode={cfg.train_mode} model={cfg.model.name}/{cfg.model.context_path} "
+        f"mesh={dict(trainer.mesh_ctx.mesh.shape)} "
+        f"steps/epoch={trainer.steps_per_epoch} max_iter={trainer.max_iter}"
+    )
+
+    # --- epoch loop (reference main.py:357-467) ---
+    for epoch in range(start_epoch, t.epochs):
+        t0 = time.time()
+        running: Dict[str, float] = {}
+        n_batches = 0
+        for batch in trainer.train_batches():
+            state, metrics = trainer.train_step(batch=batch, rng=trainer.aug_rng, state=state)
+            n_batches += 1
+            step = int(state.step)
+            if step % t.print_freq_batch == 0:
+                host = {f"train/{k}": float(v) for k, v in metrics.items()}
+                logger.log(host, step)
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + float(v)
+        epoch_means = {k: v / max(n_batches, 1) for k, v in running.items()}
+        say(
+            f"epoch {epoch + 1}/{t.epochs} "
+            + " ".join(f"{k}={v:.4f}" for k, v in sorted(epoch_means.items()))
+            + f" ({time.time() - t0:.1f}s)"
+        )
+        logger.log(
+            {f"train_epoch/{k}": v for k, v in epoch_means.items()},
+            int(state.step),
+        )
+
+        # --- validation (reference main.py:414-426) ---
+        if (epoch + 1) % t.validate_freq_epoch == 0 or epoch == t.epochs - 1:
+            trainer.state = state  # evaluate with current params
+            val = trainer.validate()
+            logger.log_validation(
+                val["miou"], val["loss"], val["per_class_iou"], int(state.step)
+            )
+            say(
+                f"  val mIoU={val['miou']:.4f} loss={val['loss']:.4f} "
+                f"({int(val['num_images'])} images)"
+            )
+            if val["miou"] > float(state.best_miou):
+                state = state.replace(
+                    best_miou=jax.numpy.float32(val["miou"])
+                )
+                best_per_class = val["per_class_iou"]
+                trainer.ckpt.save_best(state, epoch, best_per_class)
+                say(f"  new best mIoU {val['miou']:.4f} -> checkpoint saved")
+
+        # periodic checkpoint, skipped on the final epoch
+        # (reference config.py:46-58, main.py:458-467)
+        if (epoch + 1) % t.save_checkpoint_freq_epoch == 0 and epoch != t.epochs - 1:
+            trainer.ckpt.save_periodic(state, epoch)
+
+    trainer.ckpt.wait()
+    trainer.state = state
+    final_step = int(state.step)
+
+    # --- final report (reference main.py:481-621): reload the best
+    # checkpoint so perf/prediction reporting uses the best model ---
+    restored = trainer.ckpt.restore_into(state, "best")
+    if restored is not None:
+        state, meta = restored
+        best_per_class = meta.get("per_class_ious", best_per_class)
+        trainer.state = state
+
+    report: Dict[str, Any] = {
+        "best_miou": float(state.best_miou),
+        "per_class_iou": (
+            np.asarray(best_per_class) if best_per_class is not None else None
+        ),
+        "epochs": t.epochs,
+        "global_step": final_step,
+    }
+    if measure_performance:
+        # Reference measures at the Cityscapes eval resolution (512x1024
+        # dummy input, utils.py:316-326) — here that size comes from config.
+        perf_h, perf_w = cfg.data.cityscapes_size
+        perf = performance_metrics(
+            trainer.model.apply,
+            trainer.g_variables(),
+            height=perf_h,
+            width=perf_w,
+            iterations=t.latency_iterations,
+            warmup=t.warmup_iterations,
+            dtype=jax.numpy.dtype(cfg.model.compute_dtype),
+        )
+        report.update(perf)
+
+    say("\n=== Final results ===")
+    say(f"best mIoU: {report['best_miou'] * 100:.2f}%")
+    if measure_performance:
+        say(
+            f"latency: {report['mean_latency_ms']:.2f} ± "
+            f"{report['std_latency_ms']:.2f} ms  "
+            f"({report['mean_fps']:.1f} FPS) @ 1024x512"
+        )
+        say(f"FLOPs: {report['flops_g']} G   params: {report['params_m']} M")
+    if report["per_class_iou"] is not None:
+        say(_per_class_table(report["per_class_iou"]))
+
+    logger.summary(
+        {
+            k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in report.items()
+        }
+    )
+    logger.finish()
+    trainer.ckpt.close()
+    report["trainer"] = trainer
+    report["state"] = state
+    return report

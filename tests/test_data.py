@@ -1,0 +1,150 @@
+"""Data layer tests: pairing rules, decode, LUT preprocessing CLI, loader
+shuffling/drop_last, infinite target stream, eval padding — on tiny PNG
+fixtures generated into tmp dirs (SURVEY.md section 4's fixture strategy)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rtda_semanticsegmentation_tpu.data import (
+    CityscapesDataset,
+    GTA5Dataset,
+    InfiniteLoader,
+    Loader,
+    SyntheticDataset,
+    eval_batches,
+)
+from rtda_semanticsegmentation_tpu.data.labels import (
+    GTA5_CLASS_COLORS,
+    IGNORE_INDEX,
+)
+from rtda_semanticsegmentation_tpu.data.preprocess import preprocess_labels
+
+H0, W0 = 40, 56  # on-disk size (resized by datasets)
+
+
+def _png(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture()
+def cityscapes_root(tmp_path):
+    root = tmp_path / "cs"
+    rng = np.random.RandomState(0)
+    for split, cities, n in (("val", ["frankfurt"], 3), ("train", ["aachen"], 5)):
+        for city in cities:
+            for i in range(n):
+                stem = f"{city}_{i:06d}_000019"
+                img = rng.randint(0, 256, (H0, W0, 3), np.uint8)
+                lab = rng.randint(0, 19, (H0, W0)).astype(np.uint8)
+                lab[0, :] = 255
+                _png(str(root / "images" / split / city / f"{stem}_leftImg8bit.png"), img)
+                _png(str(root / "gtFine" / split / city / f"{stem}_gtFine_labelTrainIds.png"), lab)
+    return str(root)
+
+
+@pytest.fixture()
+def gta5_root(tmp_path):
+    root = tmp_path / "gta5"
+    rng = np.random.RandomState(1)
+    for i in range(6):
+        img = rng.randint(0, 256, (H0, W0, 3), np.uint8)
+        # RGB color-coded label using real class colors + one unknown color
+        ids = rng.randint(0, 19, (H0, W0))
+        rgb = np.asarray(GTA5_CLASS_COLORS, np.uint8)[ids]
+        rgb[0, 0] = (1, 2, 3)  # unknown -> ignore
+        _png(str(root / "images" / f"{i:05d}.png"), img)
+        _png(str(root / "labels" / f"{i:05d}.png"), rgb)
+    return str(root)
+
+
+def test_cityscapes_pairing_and_load(cityscapes_root):
+    ds = CityscapesDataset(cityscapes_root, "val", size=(32, 64))
+    assert len(ds) == 3
+    img_p, lab_p = ds.pairs[0]
+    assert "_leftImg8bit" in img_p and "_gtFine_labelTrainIds" in lab_p
+    assert f"{os.sep}gtFine{os.sep}" in lab_p
+    img, lab = ds.load(0)
+    assert img.shape == (32, 64, 3) and img.dtype == np.uint8
+    assert lab.shape == (32, 64) and lab.dtype == np.int32
+    assert (lab[(lab != 255)] < 19).all()
+
+
+def test_cityscapes_missing_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        CityscapesDataset(str(tmp_path), "val", size=(32, 64))
+
+
+def test_gta5_preprocess_then_load(gta5_root):
+    written = preprocess_labels(gta5_root, "labels", "labels_trainids")
+    assert written == 6
+    # idempotent: second run skips all
+    assert preprocess_labels(gta5_root, "labels", "labels_trainids") == 0
+
+    ds = GTA5Dataset(gta5_root, "labels_trainids", False, size=(32, 64))
+    assert len(ds) == 6
+    img, lab = ds.load(0)
+    assert lab.dtype == np.int32
+    valid = lab[lab != IGNORE_INDEX]
+    assert valid.size and (valid < 19).all()
+
+
+def test_gta5_on_the_fly_matches_preprocessed(gta5_root):
+    preprocess_labels(gta5_root, "labels", "labels_trainids")
+    pre = GTA5Dataset(gta5_root, "labels_trainids", False, size=(H0, W0))
+    fly = GTA5Dataset(gta5_root, "labels", True, size=(H0, W0))
+    for i in range(3):
+        _, a = pre.load(i)
+        _, b = fly.load(i)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gta5_skips_missing_labels(gta5_root):
+    os.remove(os.path.join(gta5_root, "labels", "00003.png"))
+    with pytest.warns(UserWarning):
+        ds = GTA5Dataset(gta5_root, "labels", True, size=(32, 64))
+    assert len(ds) == 5
+
+
+def test_loader_shuffle_drop_last_determinism():
+    ds = SyntheticDataset(length=10, size=(16, 16))
+    loader = Loader(ds, batch_size=4, shuffle=True, drop_last=True, seed=7)
+    assert len(loader) == 2  # 10 // 4
+    epoch1 = [b["image"].copy() for b in loader]
+    assert all(b.shape == (4, 16, 16, 3) for b in epoch1)
+    # same seed + epoch -> same order
+    loader2 = Loader(ds, batch_size=4, shuffle=True, drop_last=True, seed=7)
+    epoch1b = [b["image"].copy() for b in loader2]
+    np.testing.assert_array_equal(epoch1[0], epoch1b[0])
+    # next epoch reshuffles
+    epoch2 = [b["image"].copy() for b in loader2]
+    assert not np.array_equal(epoch1[0], epoch2[0])
+
+
+def test_infinite_loader_wraps():
+    ds = SyntheticDataset(length=6, size=(16, 16))
+    inf = InfiniteLoader(Loader(ds, batch_size=4, shuffle=False))
+    batches = [next(inf) for _ in range(4)]  # > one epoch (1 batch/epoch)
+    assert all(b["image"].shape == (4, 16, 16, 3) for b in batches)
+
+
+def test_loader_multihost_slicing():
+    ds = SyntheticDataset(length=8, size=(16, 16))
+    full = next(iter(Loader(ds, 4, shuffle=False, drop_last=True)))
+    half0 = next(iter(Loader(ds, 4, shuffle=False, process_index=0, process_count=2)))
+    half1 = next(iter(Loader(ds, 4, shuffle=False, process_index=1, process_count=2)))
+    np.testing.assert_array_equal(
+        np.concatenate([half0["image"], half1["image"]]), full["image"]
+    )
+
+
+def test_eval_batches_pads_tail(cityscapes_root):
+    ds = CityscapesDataset(cityscapes_root, "val", size=(32, 64))
+    out = list(eval_batches(ds, batch_size=2))
+    assert len(out) == 2
+    imgs, labs, valid = out[-1]
+    assert imgs.shape[0] == 2
+    assert valid.tolist() == [True, False]

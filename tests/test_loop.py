@@ -1,0 +1,100 @@
+"""End-to-end orchestration tests: run_experiment on the synthetic dataset
+(tiny shapes, few steps), checkpoint creation, resume semantics, adversarial
+pipeline wiring."""
+
+import dataclasses
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rtda_semanticsegmentation_tpu.config import ExperimentConfig
+from rtda_semanticsegmentation_tpu.train.loop import run_experiment
+
+H = W = 32
+
+
+def e2e_cfg(tmp_path, **over) -> ExperimentConfig:
+    cfg = ExperimentConfig()
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            train_dataset="synthetic",
+            val_dataset="synthetic",
+            gta5_size=(H, W),
+            cityscapes_size=(H, W),
+            eval_batch_size=4,
+            num_workers=2,
+            prefetch_batches=1,
+            adversarial_target_dataset="synthetic",
+        ),
+        model=dataclasses.replace(cfg.model, compute_dtype="float32"),
+        train=dataclasses.replace(
+            cfg.train,
+            epochs=2,
+            batch_size=4,
+            steps_per_epoch=3,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            print_freq_batch=2,
+            validate_freq_epoch=1,
+        ),
+        augment=dataclasses.replace(cfg.augment, pipeline="no_new_aug"),
+        mesh=dataclasses.replace(cfg.mesh, data=4),
+        obs=dataclasses.replace(
+            cfg.obs, backend="jsonl", log_dir=str(tmp_path / "logs")
+        ),
+    )
+    for k, v in over.items():
+        sec, field_name = k.split("__")
+        cfg = cfg.replace(
+            **{sec: dataclasses.replace(getattr(cfg, sec), **{field_name: v})}
+        )
+    return cfg
+
+
+def test_run_experiment_end_to_end(tmp_path):
+    cfg = e2e_cfg(tmp_path)
+    report = run_experiment(cfg, run_name="e2e", measure_performance=False, verbose=False)
+    assert report["global_step"] == 6  # 2 epochs x 3 steps
+    assert 0.0 <= report["best_miou"] <= 1.0
+    assert report["per_class_iou"] is not None
+    # best checkpoint exists
+    assert glob.glob(str(tmp_path / "ckpt" / "bisenet" / "best" / "*"))
+    # jsonl log written with run_config + metrics + summary events
+    log = tmp_path / "logs" / "e2e.jsonl"
+    events = [json.loads(line)["event"] for line in open(log)]
+    assert "run_config" in events and "metrics" in events and "summary" in events
+
+
+def test_resume_continues_from_checkpoint(tmp_path):
+    cfg = e2e_cfg(tmp_path, train__save_checkpoint_freq_epoch=1, train__epochs=3)
+    run_experiment(cfg, run_name="first", measure_performance=False, verbose=False)
+    # New run with resume: restores and continues (epochs already done ->
+    # zero additional epochs trained, but restore path is exercised)
+    cfg2 = e2e_cfg(
+        tmp_path,
+        train__save_checkpoint_freq_epoch=1,
+        train__epochs=3,
+        train__resume_checkpoint="latest",
+    )
+    report = run_experiment(cfg2, run_name="second", measure_performance=False, verbose=False)
+    # periodic saved at epochs 1 and 2 (not final); resume at epoch 2 -> one
+    # more epoch of 3 steps on top of the 6 banked
+    assert report["global_step"] == 9
+
+
+def test_adversarial_end_to_end(tmp_path):
+    cfg = e2e_cfg(
+        tmp_path,
+        adversarial__enabled=True,
+        loss__use_lovasz=True,
+    )
+    report = run_experiment(cfg, run_name="adv", measure_performance=False, verbose=False)
+    assert report["global_step"] == 6
+    log = tmp_path / "logs" / "adv.jsonl"
+    lines = [json.loads(line) for line in open(log)]
+    keys = set().union(*(line.keys() for line in lines))
+    assert any("loss_d" in k for k in keys), keys
+    assert any("loss_lovasz" in k for k in keys), keys
