@@ -1,0 +1,100 @@
+"""Shared CLI plumbing: flags -> immutable ExperimentConfig.
+
+The reference patches a mutable config module in place (``main.py:120-146``);
+here every override produces a new frozen config via dataclasses.replace.
+Flag names mirror the reference's argparse surface (``main.py:52-114``,
+``main_adversarial.py:41-86``) with framework additions (mesh shape, preset,
+steps-per-epoch, logging backend).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from ..config import PRESETS, ExperimentConfig, OptimizerConfig, get_preset
+
+
+def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
+    g = "generator_" if adversarial else ""
+    p.add_argument("--preset", choices=PRESETS, default=None,
+                   help="Start from a named benchmark preset.")
+    p.add_argument(f"--{g}model" if adversarial else "--model_name",
+                   dest="model_name", choices=("bisenet", "deeplabv2"))
+    p.add_argument(f"--{g}optimizer" if adversarial else "--optimizer",
+                   dest="optimizer", choices=("sgd", "adam"))
+    p.add_argument(f"--{g}lr" if adversarial else "--lr",
+                   dest="lr", type=float)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--resume_checkpoint", type=str,
+                   help="'latest', 'best' (restores from the run's checkpoint "
+                        "dir) — reference --resume_checkpoint path semantics.")
+    p.add_argument("--cityscapes_dataset_path", "--cityscapes_path",
+                   dest="cityscapes_path", type=str)
+    p.add_argument("--gta5_dataset_path", "--gta5_path",
+                   dest="gta5_path", type=str)
+    p.add_argument("--train_dataset",
+                   choices=("gta5", "cityscapes", "synthetic"))
+    p.add_argument("--val_dataset", choices=("cityscapes", "synthetic"))
+    p.add_argument("--bisenet_context_path", dest="context_path",
+                   choices=("resnet18", "resnet101"))
+    p.add_argument("--augmentation", dest="augmentation",
+                   choices=("no_new_aug", "hflip_only", "colorjitter_only",
+                            "isonoise_only", "coarsedropout_only",
+                            "all_four_combined", "all_four_plus_hflip"))
+    p.add_argument("--use_lovasz", action="store_true", default=None)
+    p.add_argument("--pretrained_backbone", type=str,
+                   help="Path to converted .npz backbone weights.")
+    p.add_argument("--checkpoint_dir", type=str)
+    p.add_argument("--steps_per_epoch", type=int)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--run_name", type=str)
+    p.add_argument("--log_backend", choices=("auto", "wandb", "jsonl", "null"))
+    p.add_argument("--mesh_data", type=int,
+                   help="Data-parallel axis size (-1 = all devices).")
+    p.add_argument("--mesh_model", type=int,
+                   help="Model-parallel axis size (default 1).")
+    p.add_argument("--compute_dtype", choices=("bfloat16", "float32"))
+    p.add_argument("--eval_batch_size", type=int)
+    p.add_argument("--no_perf", action="store_true",
+                   help="Skip the end-of-run latency/FLOPs measurement.")
+
+
+def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentConfig:
+    cfg = get_preset(args.preset) if args.preset else ExperimentConfig()
+    if adversarial and not cfg.adversarial.enabled:
+        cfg = cfg.replace(
+            adversarial=dataclasses.replace(cfg.adversarial, enabled=True)
+        )
+
+    def rep(section: str, **kw):
+        nonlocal cfg
+        kw = {k: v for k, v in kw.items() if v is not None}
+        if kw:
+            cfg = cfg.replace(
+                **{section: dataclasses.replace(getattr(cfg, section), **kw)}
+            )
+
+    # Reference default-LR coupling: picking an optimizer without an explicit
+    # --lr uses that optimizer's default LR (config.py:86-95).
+    lr = args.lr
+    if lr is None and args.optimizer is not None:
+        lr = OptimizerConfig.default_lr(args.optimizer)
+
+    rep("model", name=args.model_name, context_path=args.context_path,
+        pretrained_backbone=args.pretrained_backbone,
+        compute_dtype=args.compute_dtype)
+    rep("optimizer", name=args.optimizer, learning_rate=lr)
+    rep("data", cityscapes_path=args.cityscapes_path,
+        gta5_path=args.gta5_path, train_dataset=args.train_dataset,
+        val_dataset=args.val_dataset, eval_batch_size=args.eval_batch_size)
+    rep("train", epochs=args.epochs, batch_size=args.batch_size,
+        resume_checkpoint=args.resume_checkpoint, seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        steps_per_epoch=args.steps_per_epoch)
+    rep("augment", pipeline=args.augmentation)
+    rep("loss", use_lovasz=args.use_lovasz)
+    rep("obs", backend=args.log_backend, run_name=args.run_name)
+    rep("mesh", data=args.mesh_data, model=args.mesh_model)
+    return cfg

@@ -1,0 +1,51 @@
+"""Offline torch -> flax backbone weight converter.
+
+Converts a torch checkpoint (torchvision ResNet-18/101 ImageNet weights, or
+the caffe-style DeepLab ResNet-101 ``.pth`` the reference requires at
+``models/deeplabv2/DeepLab_resnet_pretrained_imagenet.pth``,
+reference ``config.py:41-43``) into a flax-path-keyed ``.npz`` consumed by
+``--pretrained_backbone``.
+
+Usage::
+
+    python -m rtda_semanticsegmentation_tpu.cli.convert_torch_weights \
+        --torch_checkpoint resnet18-f37072fd.pth --model bisenet \
+        --depth 18 --output resnet18_imagenet.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--torch_checkpoint", required=True)
+    p.add_argument("--model", choices=("bisenet", "deeplabv2"), required=True)
+    p.add_argument("--depth", type=int, choices=(18, 101), default=None,
+                   help="ResNet depth (default: 18 for bisenet, 101 for deeplabv2)")
+    p.add_argument("--output", required=True, help="Output .npz path")
+    args = p.parse_args(argv)
+
+    depth = args.depth or (18 if args.model == "bisenet" else 101)
+
+    import numpy as np
+    import torch
+
+    from ..models.convert import convert_torch_checkpoint
+
+    obj = torch.load(args.torch_checkpoint, map_location="cpu", weights_only=False)
+    state = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    state = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in state.items()}
+
+    arrays = convert_torch_checkpoint(state, args.model, depth)
+    if not arrays:
+        print("error: no convertible keys found in checkpoint", file=sys.stderr)
+        sys.exit(1)
+    np.savez(args.output, **arrays)
+    print(f"wrote {len(arrays)} arrays -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

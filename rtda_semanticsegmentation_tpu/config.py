@@ -82,6 +82,7 @@ class DataConfig:
     adversarial_source_dataset: str = "gta5"
     adversarial_target_dataset: str = "cityscapes"
     adversarial_target_split: str = "train"
+    synthetic_length: int = 64  # samples in the synthetic dataset
 
 
 @dataclass(frozen=True)

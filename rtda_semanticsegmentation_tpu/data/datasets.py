@@ -217,7 +217,9 @@ def build_dataset(
             size,
         )
     if name == "synthetic":
-        return SyntheticDataset(size=size)
+        return SyntheticDataset(
+            length=getattr(data_cfg, "synthetic_length", 64), size=size
+        )
     raise ValueError(
         f"unknown dataset {name!r}; options: cityscapes, gta5, synthetic"
     )

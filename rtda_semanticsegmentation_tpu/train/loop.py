@@ -108,7 +108,12 @@ class Trainer:
         g = ModelState.create(
             self.model.apply,
             g_vars,
-            build_generator_tx(cfg.optimizer, self.max_iter),
+            # DeepLabV2 freezes BN affine params (reference deeplabv2.py:13-25)
+            build_generator_tx(
+                cfg.optimizer,
+                self.max_iter,
+                freeze_bn=(cfg.model.name == "deeplabv2"),
+            ),
         )
         d = None
         if cfg.adversarial.enabled:

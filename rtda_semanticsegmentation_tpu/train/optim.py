@@ -21,8 +21,29 @@ from ..config import AdversarialConfig, OptimizerConfig
 from .schedule import poly_lr_schedule
 
 
+def bn_param_labels(params) -> dict:
+    """'frozen' for BatchNorm scale/bias, 'train' for everything else.
+
+    Identifies BN affine parameters by their flax path (``.../bn/scale``,
+    ``.../bn/bias``). Used to reproduce DeepLabV2's frozen BN: the reference
+    sets ``requires_grad=False`` on every BN parameter while leaving the
+    layers in train mode, so batch statistics still update but the affine
+    params never do (reference ``deeplabv2.py:13-25,74-75,100-101``).
+    """
+    import jax
+
+    def label(path, _) -> str:
+        keys = [getattr(k, "key", str(k)) for k in path]
+        frozen = (
+            len(keys) >= 2 and keys[-2] == "bn" and keys[-1] in ("scale", "bias")
+        )
+        return "frozen" if frozen else "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 def build_generator_tx(
-    cfg: OptimizerConfig, max_iter: int
+    cfg: OptimizerConfig, max_iter: int, freeze_bn: bool = False
 ) -> optax.GradientTransformation:
     schedule = poly_lr_schedule(cfg.learning_rate, max_iter, cfg.poly_power)
     parts = []
@@ -38,7 +59,12 @@ def build_generator_tx(
     else:
         raise ValueError(f"unknown optimizer {cfg.name!r}; options: sgd, adam")
     parts.append(optax.scale_by_learning_rate(schedule))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if freeze_bn:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, bn_param_labels
+        )
+    return tx
 
 
 def build_discriminator_tx(

@@ -22,4 +22,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# This runner has a single CPU core; XLA compiles dominate suite time.
+# The persistent compilation cache makes re-runs skip every unchanged compile.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

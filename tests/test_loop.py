@@ -29,6 +29,7 @@ def e2e_cfg(tmp_path, **over) -> ExperimentConfig:
             num_workers=2,
             prefetch_batches=1,
             adversarial_target_dataset="synthetic",
+            synthetic_length=16,
         ),
         model=dataclasses.replace(cfg.model, compute_dtype="float32"),
         train=dataclasses.replace(

@@ -255,3 +255,41 @@ def test_eval_engine_matches_numpy_oracle():
                 C * l[m] + p[m], minlength=C * C
             ).reshape(C, C)
     np.testing.assert_array_equal(out["hist"], hist)
+
+
+def test_deeplabv2_frozen_bn_params_not_updated():
+    """Reference DeepLabV2 sets requires_grad=False on all BN affine params
+    (deeplabv2.py:13-25); our optimizer masks them to zero updates while conv
+    kernels still train."""
+    from rtda_semanticsegmentation_tpu.train.optim import build_generator_tx
+
+    cfg = tiny_config(model__name="deeplabv2", augment__pipeline="no_new_aug")
+    model = build_model(cfg.model)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    tx = build_generator_tx(cfg.optimizer, MAX_ITER, freeze_bn=True)
+    g = ModelState.create(model.apply, variables, tx)
+    state = TrainState.create(g)
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    step = jax.jit(make_train_step(cfg, g_sched))
+    state1, _ = step(state, make_batch(), jax.random.PRNGKey(0))
+
+    def diffs(tree_a, tree_b):
+        flat_a = jax.tree_util.tree_flatten_with_path(tree_a)[0]
+        flat_b = jax.tree.leaves(tree_b)
+        out = {}
+        for (path, a), b in zip(flat_a, flat_b):
+            keys = tuple(getattr(k, "key", str(k)) for k in path)
+            out[keys] = float(jnp.abs(a - b).max())
+        return out
+
+    d = diffs(state.generator.params, state1.generator.params)
+    bn_deltas = [v for k, v in d.items() if len(k) >= 2 and k[-2] == "bn"]
+    conv_deltas = [v for k, v in d.items() if "conv" in k[-2] or k[-1] == "kernel"]
+    assert bn_deltas and max(bn_deltas) == 0.0
+    assert max(conv_deltas) > 0.0
+    # but batch statistics DO update (train-mode BN semantics preserved)
+    bs_diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.generator.batch_stats, state1.generator.batch_stats,
+    )
+    assert max(jax.tree.leaves(bs_diff)) > 0.0
