@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 
+from ..parallel import ensure_distributed
 from ..train.loop import run_experiment
 from .common import add_common_flags, args_to_config
 
@@ -27,6 +28,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Source-only segmentation training")
     add_common_flags(p, adversarial=False)
     args = p.parse_args(argv)
+    ensure_distributed()
     cfg = args_to_config(args, adversarial=False)
     return run_experiment(
         cfg, run_name=args.run_name, measure_performance=not args.no_perf

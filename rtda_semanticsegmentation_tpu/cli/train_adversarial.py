@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 
+from ..parallel import ensure_distributed
 from ..train.loop import run_experiment
 from .common import add_common_flags, args_to_config
 
@@ -27,6 +28,7 @@ def main(argv=None):
     p.add_argument("--disc_lr", type=float, default=None,
                    help="Discriminator Adam LR (default 2.5e-5).")
     args = p.parse_args(argv)
+    ensure_distributed()
     cfg = args_to_config(args, adversarial=True)
     import dataclasses
 

@@ -10,6 +10,7 @@ per-image ``.cpu().numpy()`` + ``np.bincount`` round-trip
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -33,10 +34,22 @@ def confusion_matrix(
         & (preds >= 0)
         & (preds < num_classes)
     )
-    # Invalid pixels are routed to an overflow bin that is sliced away.
-    flat = jnp.where(valid, labels * num_classes + preds, num_classes * num_classes)
-    hist = jnp.zeros(num_classes * num_classes + 1, dtype=jnp.int32).at[flat].add(1)
-    return hist[:-1].reshape(num_classes, num_classes)
+    # MXU formulation: hist = onehot(labels)^T @ onehot(preds). A scatter-add
+    # (bincount) serializes on TPU; this is one (C+1, P) x (P, C+1) matmul the
+    # systolic array eats at memory speed. Invalid pixels route to an
+    # overflow class that is sliced away. f32 accumulation counts exactly up
+    # to 2^24 pixels per bin — far above any eval batch.
+    overflow = num_classes
+    l = jnp.where(valid, labels, overflow)
+    p = jnp.where(valid, preds, overflow)
+    oh_l = jax.nn.one_hot(l, num_classes + 1, dtype=jnp.bfloat16)
+    oh_p = jax.nn.one_hot(p, num_classes + 1, dtype=jnp.bfloat16)
+    hist = jax.lax.dot_general(
+        oh_l, oh_p,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return hist[:num_classes, :num_classes].astype(jnp.int32)
 
 
 def per_class_iou(hist: jnp.ndarray, epsilon: float = 1e-5) -> jnp.ndarray:

@@ -9,6 +9,7 @@ confusion-matrix reduction) emitted by XLA from sharding annotations and
 riding ICI.
 """
 
+from .multihost import ensure_distributed
 from .mesh import (
     MeshContext,
     batch_sharding,
@@ -23,4 +24,5 @@ __all__ = [
     "create_mesh",
     "replicated",
     "shard_batch",
+    "ensure_distributed",
 ]

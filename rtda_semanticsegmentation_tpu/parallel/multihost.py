@@ -1,0 +1,52 @@
+"""Multi-host (multi-slice / DCN) runtime setup.
+
+The reference is strictly single-process (SURVEY.md section 2). On TPU pods,
+JAX runs one controller per host; this helper wraps
+``jax.distributed.initialize`` so the CLIs work unchanged on a pod slice:
+
+- every host constructs the same global mesh over ``jax.devices()``;
+- the ``Loader`` slices each global batch by ``jax.process_index()``
+  (see ``data/loader.py``), so hosts feed only their local shard;
+- eval reductions and gradient all-reduces are XLA collectives over
+  ICI within a slice and DCN across slices — nothing else changes.
+
+Call :func:`ensure_distributed` once at program start. It is a no-op in
+single-process settings (including tests and CPU smoke runs), and reads the
+standard TPU environment (coordinator address etc.) when launched by the TPU
+runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_INITIALIZED = False
+
+
+def ensure_distributed() -> None:
+    """Initialize the JAX distributed runtime when running multi-host.
+
+    Safe to call unconditionally: skips when already initialized or when no
+    multi-host environment is detected (no coordinator configured and no TPU
+    pod metadata available).
+    """
+    global _INITIALIZED
+    if _INITIALIZED:
+        return
+    multi_host_hint = (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        or os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0
+    )
+    if not multi_host_hint:
+        _INITIALIZED = True
+        return
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError) as e:
+        # Already initialized by the launcher, or single-process after all.
+        print(f"jax.distributed.initialize skipped: {e}")
+    _INITIALIZED = True

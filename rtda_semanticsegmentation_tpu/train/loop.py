@@ -340,6 +340,28 @@ def run_experiment(
     if report["per_class_iou"] is not None:
         say(_per_class_table(report["per_class_iou"]))
 
+    # End-of-run prediction gallery from the best model (reference
+    # log_best_model_predictions, utils.py:563-645: 6 samples).
+    try:
+        from ..ops.augment import normalize_u8 as _norm
+
+        n_gallery = min(6, len(trainer.val_ds))
+        for i in range(n_gallery):
+            img_u8, label = trainer.val_ds.load(i)
+            out = trainer.model.apply(
+                trainer.g_variables(),
+                _norm(jax.numpy.asarray(img_u8)[None], cfg.augment).astype(
+                    jax.numpy.dtype(cfg.model.compute_dtype)
+                ),
+                False,
+            )
+            pred = np.asarray(jax.numpy.argmax(out[0], -1))
+            logger.log_segmentation_images(
+                img_u8, label, pred, final_step, tag=f"best/prediction_{i}"
+            )
+    except Exception as e:  # gallery is best-effort, like the reference's W&B
+        say(f"prediction gallery skipped: {e}")
+
     logger.summary(
         {
             k: (v.tolist() if isinstance(v, np.ndarray) else v)

@@ -34,10 +34,16 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..config import ExperimentConfig
 from ..ops.augment import augment_batch, normalize_u8
-from ..ops.losses import bce_with_logits, cross_entropy_with_ignore, lovasz_softmax
+from ..ops.losses import (
+    bce_with_logits,
+    cross_entropy_with_ignore,
+    lovasz_softmax,
+    lovasz_softmax_binned,
+)
 from .state import ModelState, TrainState
 
 Metrics = Dict[str, jnp.ndarray]
@@ -73,7 +79,12 @@ def _seg_loss(
     ce = cross_entropy_with_ignore(logits, labels, cfg.loss.ignore_index)
     if cfg.loss.use_lovasz:
         probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        lov = lovasz_softmax(probas, labels, cfg.loss.ignore_index)
+        if cfg.loss.lovasz_impl == "binned":
+            lov = lovasz_softmax_binned(
+                probas, labels, cfg.loss.ignore_index, bins=cfg.loss.lovasz_bins
+            )
+        else:
+            lov = lovasz_softmax(probas, labels, cfg.loss.ignore_index)
         total = ce + cfg.loss.lovasz_weight * lov
         return total, {"loss_ce": ce, "loss_lovasz": lov}
     return ce, {"loss_ce": ce}
@@ -125,6 +136,9 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "lr": g_schedule(state.step),
+            # global grad norm — the observable the reference's wandb.watch
+            # gradient tracking provides (main.py:351-352)
+            "grad_norm": optax.global_norm(grads),
             **parts,
         }
         new_state = state.replace(generator=new_g, step=state.step + 1)
@@ -194,6 +208,8 @@ def make_train_step(
             "loss_d": loss_d,
             "lr": g_schedule(state.step),
             "lr_d": d_schedule(state.step),
+            "grad_norm": optax.global_norm(g_grads),
+            "grad_norm_d": optax.global_norm(d_grads),
             **parts,
         }
         new_state = state.replace(

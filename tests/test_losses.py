@@ -119,3 +119,76 @@ def test_bce_with_logits_matches_oracle(target):
     x = np.random.default_rng(5).normal(size=(2, 1, 6, 8)).astype(np.float32) * 3
     got = float(bce_with_logits(jnp.array(x), target))
     assert got == pytest.approx(bce_with_logits_oracle(x, target), rel=1e-5)
+
+
+class TestLovaszBinned:
+    """Binned (counting-sort) Lovász vs the exact sort implementation."""
+
+    def _rand(self, seed, P=5000, C=7, ignore_frac=0.1):
+        rng = np.random.RandomState(seed)
+        logits = rng.randn(P, C).astype(np.float32)
+        probas = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        labels = rng.randint(0, C, P).astype(np.int32)
+        labels[rng.rand(P) < ignore_frac] = 255
+        return jnp.asarray(probas), jnp.asarray(labels)
+
+    def test_matches_exact_within_bin_tolerance(self):
+        from rtda_semanticsegmentation_tpu.ops.losses import (
+            lovasz_softmax,
+            lovasz_softmax_binned,
+        )
+
+        for seed in range(5):
+            probas, labels = self._rand(seed)
+            exact = float(lovasz_softmax(probas, labels))
+            binned = float(lovasz_softmax_binned(probas, labels, bins=1024))
+            assert abs(exact - binned) < 2e-3, (seed, exact, binned)
+
+    def test_structured_predictions(self):
+        """Near-perfect and near-uniform predictions (tie-heavy regimes)."""
+        from rtda_semanticsegmentation_tpu.ops.losses import (
+            lovasz_softmax,
+            lovasz_softmax_binned,
+        )
+
+        rng = np.random.RandomState(0)
+        P, C = 4000, 5
+        labels = rng.randint(0, C, P).astype(np.int32)
+        # near-perfect
+        probas = np.full((P, C), 0.01, np.float32)
+        probas[np.arange(P), labels] = 1 - 0.01 * (C - 1)
+        e = float(lovasz_softmax(jnp.asarray(probas), jnp.asarray(labels)))
+        b = float(lovasz_softmax_binned(jnp.asarray(probas), jnp.asarray(labels)))
+        assert abs(e - b) < 2e-3
+        # uniform (all errors tie)
+        probas = np.full((P, C), 1.0 / C, np.float32)
+        e = float(lovasz_softmax(jnp.asarray(probas), jnp.asarray(labels)))
+        b = float(lovasz_softmax_binned(jnp.asarray(probas), jnp.asarray(labels)))
+        assert abs(e - b) < 5e-3
+
+    def test_gradient_close_to_exact(self):
+        from rtda_semanticsegmentation_tpu.ops.losses import (
+            lovasz_softmax,
+            lovasz_softmax_binned,
+        )
+
+        probas, labels = self._rand(3, P=2000, C=5)
+
+        g_exact = jax.grad(lambda p: lovasz_softmax(p, labels))(probas)
+        g_binned = jax.grad(
+            lambda p: lovasz_softmax_binned(p, labels, bins=1024)
+        )(probas)
+        a = np.asarray(g_exact).ravel()
+        b = np.asarray(g_binned).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+        # 0.98 at P=2000 (2 px/bucket -> tie-break smoothing dominates);
+        # tightens with pixel count as bucket rank-spans shrink relatively.
+        assert cos > 0.97, cos
+        assert abs(np.linalg.norm(a) - np.linalg.norm(b)) / np.linalg.norm(a) < 0.05
+
+    def test_all_ignored_returns_zero(self):
+        from rtda_semanticsegmentation_tpu.ops.losses import lovasz_softmax_binned
+
+        probas = jnp.ones((100, 4)) / 4
+        labels = jnp.full(100, 255, jnp.int32)
+        assert float(lovasz_softmax_binned(probas, labels)) == 0.0
