@@ -182,14 +182,25 @@ class Trainer:
         return self.state.generator.variables
 
     def validate(self) -> Dict[str, Any]:
-        return evaluate(
-            self.eval_step,
-            self.g_variables(),
-            eval_batches(
+        def sharded_batches():
+            # Shard each eval batch over the data axis so validation runs
+            # data-parallel like training (hist/loss reductions become XLA
+            # collectives); the reference validates image-by-image on one
+            # device (validation.py:82-109).
+            for images, labels, valid in eval_batches(
                 self.val_ds,
                 self.cfg.data.eval_batch_size,
                 self.cfg.data.num_workers,
-            ),
+            ):
+                yield tuple(
+                    jax.device_put(a, self.mesh_ctx.batch_sharding(a.ndim))
+                    for a in (images, labels, valid)
+                )
+
+        return evaluate(
+            self.eval_step,
+            self.g_variables(),
+            sharded_batches(),
             self.cfg.model.num_classes,
         )
 
