@@ -55,34 +55,81 @@ def _time_batch(forward, variables, batch: int) -> tuple[float, float]:
     measures transport RTT instead of the device. Both failure modes were
     observed on this runner (62k img/s and 28 img/s respectively for the
     same model)."""
-    images = jnp.asarray(
-        np.random.RandomState(0).randint(0, 256, (batch, H, W, 3), np.uint8)
+    # A ring of distinct input batches, indexed by the loop counter: the
+    # forward can't be hoisted out of the loop (a scalar-scale trick distorts
+    # results instead — measured 4x slowdowns from whatever XLA does with it),
+    # and reading 12 MB/iter from HBM is ~15 us of the ~10 ms iteration.
+    ring = jnp.asarray(
+        np.random.RandomState(0).randint(0, 256, (4, batch, H, W, 3), np.uint8)
     ).astype(jnp.bfloat16)
 
     @jax.jit
-    def loop(variables, images, n):
+    def loop(variables, ring, n):
         def body(i, acc):
-            imgs = images * (1.0 + 1e-6 * i)  # defeat loop-invariant hoisting
+            imgs = jax.lax.dynamic_index_in_dim(ring, i % 4, keepdims=False)
             out = forward(variables, imgs)
             return acc + jnp.sum(jnp.argmax(out, -1))
 
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.int32))
 
-    float(loop(variables, images, WARMUP))  # compile + warm
+    float(loop(variables, ring, WARMUP))  # compile + warm
     t0 = time.perf_counter()
-    float(loop(variables, images, ITERS))
+    float(loop(variables, ring, ITERS))
     device_per_iter = (time.perf_counter() - t0) / ITERS
 
     @jax.jit
     def single(variables, images):
         return jnp.sum(jnp.argmax(forward(variables, images), -1))
 
-    float(single(variables, images))
+    float(single(variables, ring[0]))
     t0 = time.perf_counter()
     for _ in range(10):
-        float(single(variables, images))
+        float(single(variables, ring[0]))
     rtt_per_iter = (time.perf_counter() - t0) / 10
     return device_per_iter, rtt_per_iter
+
+
+def _train_throughput(batch: int = 8) -> float:
+    """img/s of the compiled vanilla train step (aug pipeline on)."""
+    import dataclasses
+
+    from rtda_semanticsegmentation_tpu.config import ExperimentConfig
+    from rtda_semanticsegmentation_tpu.models.factory import build_model, init_model
+    from rtda_semanticsegmentation_tpu.train.optim import build_generator_tx
+    from rtda_semanticsegmentation_tpu.train.schedule import poly_lr_schedule
+    from rtda_semanticsegmentation_tpu.train.state import ModelState, TrainState
+    from rtda_semanticsegmentation_tpu.train.steps import make_train_step
+
+    cfg = ExperimentConfig()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, gta5_size=(H, W)),
+        train=dataclasses.replace(cfg.train, batch_size=batch),
+    )
+    model = build_model(cfg.model)
+    g = ModelState.create(
+        model.apply,
+        init_model(model, jax.random.PRNGKey(0), (1, H, W, 3)),
+        build_generator_tx(cfg.optimizer, 1000),
+    )
+    state = TrainState.create(g)
+    step = jax.jit(
+        make_train_step(cfg, poly_lr_schedule(1e-4, 1000)), donate_argnums=0
+    )
+    rng = np.random.RandomState(0)
+    b = {
+        "image": jnp.asarray(rng.randint(0, 256, (batch, H, W, 3), np.uint8)),
+        "label": jnp.asarray(rng.randint(0, 19, (batch, H, W), np.int32)),
+    }
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        state, m = step(state, b, key)
+    float(m["loss"])
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = step(state, b, key)
+    float(m["loss"])
+    return batch * n / (time.perf_counter() - t0)
 
 
 def main() -> None:
@@ -103,6 +150,13 @@ def main() -> None:
         if ips > best_ips:
             best_ips, best_b = ips, b
     print(f"best: batch={best_b}", file=sys.stderr)
+
+    # Context: training throughput (vanilla CE train step, batch 8).
+    try:
+        train_ips = _train_throughput()
+        print(f"train (vanilla, b8): {train_ips:.1f} img/s", file=sys.stderr)
+    except Exception as e:
+        print(f"train throughput skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -7,10 +7,13 @@ observable without network access.
 
 from .logging import MetricLogger, make_logger
 from .profiler import count_params, performance_metrics
+from .summary import flops_and_params, model_summary_table
 
 __all__ = [
     "MetricLogger",
     "make_logger",
     "count_params",
     "performance_metrics",
+    "flops_and_params",
+    "model_summary_table",
 ]

@@ -291,6 +291,27 @@ def run_experiment(
                 f"  val mIoU={val['miou']:.4f} loss={val['loss']:.4f} "
                 f"({int(val['num_images'])} images)"
             )
+            # periodic mask-overlay image (reference validation.py:113-127:
+            # first val sample every LOG_IMAGES_FREQ epochs)
+            if (epoch + 1) % t.log_images_freq_epoch == 0 and len(trainer.val_ds):
+                try:
+                    from ..ops.augment import normalize_u8 as _norm
+
+                    img_u8, label = trainer.val_ds.load(0)
+                    out = trainer.model.apply(
+                        trainer.g_variables(),
+                        _norm(
+                            jax.numpy.asarray(img_u8)[None], cfg.augment
+                        ).astype(jax.numpy.dtype(cfg.model.compute_dtype)),
+                        False,
+                    )
+                    pred = np.asarray(jax.numpy.argmax(out[0], -1))
+                    logger.log_segmentation_images(
+                        img_u8, label, pred, int(state.step)
+                    )
+                except Exception:
+                    pass
+
             if val["miou"] > float(state.best_miou):
                 state = state.replace(
                     best_miou=jax.numpy.float32(val["miou"])
@@ -345,9 +366,21 @@ def run_experiment(
         say(
             f"latency: {report['mean_latency_ms']:.2f} ± "
             f"{report['std_latency_ms']:.2f} ms  "
-            f"({report['mean_fps']:.1f} FPS) @ 1024x512"
+            f"({report['mean_fps']:.1f} FPS) @ {perf_w}x{perf_h}"
         )
         say(f"FLOPs: {report['flops_g']} G   params: {report['params_m']} M")
+        # Per-module parameter table (reference prints fvcore's
+        # flop_count_table, main.py:603-621) — best-effort.
+        try:
+            from ..obs import model_summary_table
+
+            say(
+                model_summary_table(
+                    trainer.model, (1, perf_h, perf_w, 3), depth=2
+                )
+            )
+        except Exception:
+            pass
     if report["per_class_iou"] is not None:
         say(_per_class_table(report["per_class_iou"]))
 
