@@ -158,6 +158,16 @@ def lovasz_softmax(
     return jnp.where(present_cnt > 0, loss_sum / jnp.maximum(present_cnt, 1.0), 0.0)
 
 
+def _radix_factors(bins: int) -> tuple[int, int]:
+    """Factor the bin count into two near-square radices (k1 * k2 == bins)."""
+    k1 = 1
+    while k1 * k1 < bins:
+        k1 *= 2
+    if bins % k1:
+        raise ValueError(f"lovasz bins must be a power of two, got {bins}")
+    return k1, bins // k1
+
+
 def _binned_lovasz_forward(probas, labels, ignore_index, classes, bins):
     """Per-class counting-sort Lovász: returns (loss, coef_table, present).
 
@@ -178,7 +188,10 @@ def _binned_lovasz_forward(probas, labels, ignore_index, classes, bins):
     else:
         valid = jnp.ones_like(labels, dtype=bool)
     validf = valid.astype(jnp.float32)
-    bin_ids = jnp.arange(bins, dtype=jnp.int32)
+
+    k1, k2 = _radix_factors(bins)
+    iota1 = jnp.arange(k1, dtype=jnp.int32)
+    iota2 = jnp.arange(k2, dtype=jnp.int32)
 
     def per_class(carry, c):
         loss_sum, present_cnt = carry
@@ -188,18 +201,27 @@ def _binned_lovasz_forward(probas, labels, ignore_index, classes, bins):
         # bucket by error; invalid pixels -> -1 (matches no bucket)
         b = jnp.clip((e * bins).astype(jnp.int32), 0, bins - 1)
         b = jnp.where(valid, b, -1)
-        onehot = (b[None, :] == bin_ids[:, None]).astype(jnp.bfloat16)
+        # Radix histogram: bucket = coarse * k2 + fine, so the K-bin
+        # histogram is the outer product of two small one-hots summed over
+        # pixels — a (3*k1, P) @ (P, k2) GEMM with k1 + k2 compares per
+        # pixel instead of K. 16x fewer VPU ops than a flat K-wide one-hot.
+        c1 = jnp.where(valid, b // k2, -1)
+        c2 = b % k2
+        oh1 = (c1[None, :] == iota1[:, None]).astype(jnp.bfloat16)  # (k1,P)
+        oh2 = (c2[:, None] == iota2[None, :]).astype(jnp.bfloat16)  # (P,k2)
         # bf16 GEMM operands: counts and fg are 0/1 (exact in bf16) and the
         # error column only shapes the per-bucket MEAN error (loss value,
         # not the gradient path), where bf16's ~0.4% element rounding is far
         # under the 1/bins bucket width. Accumulation is f32 (exact counting
-        # to 2^24). A f32 GEMM here is 4x slower on the MXU.
-        vals = jnp.stack([validf, fg, e], axis=-1).astype(jnp.bfloat16)
+        # to 2^24).
+        vals = jnp.stack([validf, fg, e], axis=0).astype(jnp.bfloat16)  # (3,P)
+        lhs = (oh1[None] * vals[:, None, :]).reshape(3 * k1, -1)  # (3k1, P)
         hist = jax.lax.dot_general(
-            onehot, vals,
+            lhs, oh2,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (bins, 3): [count, fg, error_sum] per bucket
+        ).reshape(3, bins)  # [count, fg, error_sum] per bucket
+        hist = hist.T  # (bins, 3)
         hist = hist[::-1]  # descending error order
         n, f, se = hist[:, 0], hist[:, 1], hist[:, 2]
         gts = fg.sum()
@@ -289,7 +311,9 @@ def _binned_bwd(ignore_index, classes, bins, res, g):
         valid = jnp.ones_like(labels2, dtype=bool)
     validf = valid.astype(jnp.float32)
     scale = jnp.where(present_cnt > 0, g / jnp.maximum(present_cnt, 1.0), 0.0)
-    bin_ids = jnp.arange(bins, dtype=jnp.int32)
+    k1, k2 = _radix_factors(bins)
+    iota1 = jnp.arange(k1, dtype=jnp.int32)
+    iota2 = jnp.arange(k2, dtype=jnp.int32)
 
     def per_class(_, c):
         p_c = probas_t[c]
@@ -297,13 +321,20 @@ def _binned_bwd(ignore_index, classes, bins, res, g):
         e = jnp.abs(fg - p_c) * validf
         b = jnp.clip((e * bins).astype(jnp.int32), 0, bins - 1)
         b = jnp.where(valid, b, -1)
-        # coef lookup as a fused one-hot GEMV — avoids per-pixel gathers
-        onehot = (b[:, None] == bin_ids[None, :]).astype(jnp.bfloat16)
-        coef = jax.lax.dot_general(
-            onehot, coef_table[c].astype(jnp.bfloat16),
+        # Radix coef lookup, no per-pixel gathers: coef[c1, c2] realized as
+        # the bilinear form oh1 @ coef_matrix selected by oh2 — a (k2, k1) x
+        # (k1, P) GEMM plus a k2-wide masked reduce per pixel.
+        c1 = jnp.where(valid, b // k2, -1)
+        c2 = b % k2
+        oh1 = (c1[None, :] == iota1[:, None]).astype(jnp.bfloat16)  # (k1,P)
+        oh2 = (c2[None, :] == iota2[:, None]).astype(jnp.bfloat16)  # (k2,P)
+        coef_mat = coef_table[c].reshape(k1, k2).astype(jnp.bfloat16)
+        tmp = jax.lax.dot_general(
+            coef_mat.T, oh1,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (k2, P)
+        coef = (tmp * oh2).sum(axis=0)
         # de/dp = (1 - 2*fg): e = 1-p on foreground, e = p elsewhere
         return None, coef * (1.0 - 2.0 * fg) * scale
 

@@ -260,16 +260,24 @@ def run_experiment(
         t0 = time.time()
         running: Dict[str, float] = {}
         n_batches = 0
+        host_step = int(state.step)
         for batch in trainer.train_batches():
-            state, metrics = trainer.train_step(batch=batch, rng=trainer.aug_rng, state=state)
+            state, metrics = trainer.train_step(
+                batch=batch, rng=trainer.aug_rng, state=state
+            )
             n_batches += 1
-            step = int(state.step)
-            if step % t.print_freq_batch == 0:
-                host = {f"train/{k}": float(v) for k, v in metrics.items()}
-                logger.log(host, step)
+            host_step += 1
+            # Accumulate metrics as device arrays — fetching (float()) every
+            # step would force a host sync per batch and stall the dispatch
+            # pipeline; scalars cross to host only at log points.
             for k, v in metrics.items():
-                running[k] = running.get(k, 0.0) + float(v)
-        epoch_means = {k: v / max(n_batches, 1) for k, v in running.items()}
+                running[k] = running.get(k, 0.0) + v
+            if host_step % t.print_freq_batch == 0:
+                host = {f"train/{k}": float(v) for k, v in metrics.items()}
+                logger.log(host, host_step)
+        epoch_means = {
+            k: float(v) / max(n_batches, 1) for k, v in running.items()
+        }
         say(
             f"epoch {epoch + 1}/{t.epochs} "
             + " ".join(f"{k}={v:.4f}" for k, v in sorted(epoch_means.items()))

@@ -145,3 +145,33 @@ def test_strip_prefix_and_unknown_key_raises(converted, tmp_path):
         load_npz_into_variables(
             {"params": {"x": np.zeros(1)}}, str(bad), "bisenet"
         )
+
+
+def test_pretrained_backbone_e2e_into_bisenet(converted, tmp_path):
+    """The full --pretrained_backbone flow: converted npz grafted into a
+    freshly-initialized BiSeNet via the factory hook."""
+    from rtda_semanticsegmentation_tpu.config import ModelConfig
+    from rtda_semanticsegmentation_tpu.models.factory import (
+        build_model,
+        init_model,
+        load_pretrained_backbone,
+    )
+
+    net, path = converted
+    cfg = ModelConfig(compute_dtype="float32")
+    model = build_model(cfg)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
+    loaded = load_pretrained_backbone(variables, path, "bisenet")
+    stem_t = net.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["context_path"]["resnet"]["stem"]["conv"]["kernel"]),
+        stem_t,
+    )
+    # non-backbone params untouched
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["spatial_path"]["convblock1"]["conv"]["kernel"]),
+        np.asarray(variables["params"]["spatial_path"]["convblock1"]["conv"]["kernel"]),
+    )
+    # model still runs with grafted weights
+    out = model.apply(loaded, jnp.zeros((1, 64, 64, 3)), False)
+    assert out.shape == (1, 64, 64, 19)
