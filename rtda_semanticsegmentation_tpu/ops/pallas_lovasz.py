@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: fused per-class radix histograms for binned Lovász.
+
+The XLA formulation of the binned Lovász loss (``losses.py``) runs a scan of
+19 per-class passes, each re-reading the labels and streaming its probability
+row through one-hot GEMMs. This kernel fuses the whole thing into ONE pass:
+each grid step loads a pixel chunk of the (C, P) probability matrix and the
+labels once, and for every class accumulates the (3, k1, k2) radix histogram
+[count, foreground, error-sum] into a VMEM-resident accumulator via MXU dots.
+
+Output: (C * 3 * k1, k2) f32 — reshaped by the caller to (C, 3, bins).
+
+Used by ``lovasz_softmax_binned`` as the forward histogram producer on TPU;
+the pure-XLA path remains as fallback (and the numerics oracle in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_CHUNK = 8192
+
+
+def _hist_kernel(
+    probas_ref,  # (C, T) f32 VMEM block
+    labels_ref,  # (1, T) i32 VMEM block
+    out_ref,  # (C * 3 * k1, k2) f32 VMEM accumulator (same block all steps)
+    *,
+    num_classes: int,
+    k1: int,
+    k2: int,
+    ignore_index: int,
+):
+    step = pl.program_id(0)
+    bins = k1 * k2
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    labels = labels_ref[0, :]  # (T,)
+    valid = labels != ignore_index
+    t = labels.shape[0]
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (k1, t), 0)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (t, k2), 1)
+
+    def per_class(c, _):
+        p_c = probas_ref[c, :]  # (T,)
+        # labels == c is self-masking: the ignore id (255) never equals a
+        # class id, and invalid pixels are dropped via c1 = -1 below, so no
+        # separate validity multiplies are needed on fg / the count row.
+        fg = (labels == c).astype(jnp.float32)
+        e = jnp.abs(fg - p_c)
+        b = jnp.clip((e * bins).astype(jnp.int32), 0, bins - 1)
+        c1 = jnp.where(valid, b // k2, -1)
+        c2 = b % k2
+        oh1 = (c1[None, :] == rows1).astype(jnp.bfloat16)  # (k1, T)
+        oh2 = (c2[:, None] == cols2).astype(jnp.bfloat16)  # (T, k2)
+        lhs = jnp.concatenate(
+            [
+                oh1,
+                oh1 * fg[None, :].astype(jnp.bfloat16),
+                oh1 * e[None, :].astype(jnp.bfloat16),
+            ],
+            axis=0,
+        )  # (3*k1, T)
+        part = jax.lax.dot_general(
+            lhs,
+            oh2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3*k1, k2)
+        row = c * (3 * k1)
+        out_ref[pl.ds(row, 3 * k1), :] += part
+        return _
+
+    jax.lax.fori_loop(0, num_classes, per_class, None)
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "ignore_index", "chunk", "interpret"))
+def lovasz_radix_hist(
+    probas_t: jnp.ndarray,  # (C, P) f32
+    labels: jnp.ndarray,  # (P,) i32
+    bins: int = 1024,
+    ignore_index: int = 255,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(C, 3, bins) f32 histograms: [count, fg, error_sum] per error bucket.
+
+    Pixels are processed in ``chunk``-sized blocks; P is padded to a multiple
+    with ignore labels (zero contribution). Buckets are ascending in error;
+    the Lovász post-processing reverses them.
+    """
+    from .losses import _radix_factors
+
+    num_classes, p = probas_t.shape
+    k1, k2 = _radix_factors(bins)
+    pad = (-p) % chunk
+    if pad:
+        probas_t = jnp.pad(probas_t, ((0, 0), (0, pad)))
+        labels = jnp.pad(
+            labels, (0, pad), constant_values=jnp.int32(ignore_index)
+        )
+    total = probas_t.shape[1]
+    grid = total // chunk
+
+    kernel = functools.partial(
+        _hist_kernel,
+        num_classes=num_classes,
+        k1=k1,
+        k2=k2,
+        ignore_index=ignore_index,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (num_classes, chunk),
+                lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (num_classes * 3 * k1, k2),
+            lambda i: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_classes * 3 * k1, k2), jnp.float32),
+        interpret=interpret,
+    )(probas_t.astype(jnp.float32), labels.reshape(1, -1).astype(jnp.int32))
+    return out.reshape(num_classes, 3, bins)
