@@ -174,6 +174,8 @@ class TrainConfig:
     log_images_freq_epoch: int = 10
     latency_iterations: int = 100
     warmup_iterations: int = 10
+    remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
+    #   headroom (larger batches / resolutions per chip)
     steps_per_epoch: Optional[int] = None  # None => derived from dataset length
 
 

@@ -33,6 +33,58 @@ def normal_init(stddev: float):
     return nn.initializers.normal(stddev=stddev)
 
 
+class FoldableBatchNorm(nn.Module):
+    """BatchNorm with f32 statistics and a compute-dtype application path.
+
+    Drop-in for ``nn.BatchNorm`` (same variable names: params scale/bias,
+    batch_stats mean/var — checkpoints and the torch weight converter see an
+    identical tree), with two TPU-minded differences:
+
+    - Train: batch mean/var are accumulated in f32 (bf16 reductions over
+      millions of pixels are numerically unsafe), but the normalization is
+      applied as a per-channel scale/shift in the *input* dtype, so the
+      activation map never round-trips through f32 HBM traffic.
+    - Eval: running stats + affine fold into one scale/shift pair computed
+      in f32 on (C,)-vectors and applied in the input dtype — algebraically
+      identical to flax BN, at half the memory traffic for bf16 activations.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        mul = inv.astype(x.dtype)
+        add = (bias - mean * inv).astype(x.dtype)
+        return x * mul + add
+
+
 class ConvBN(nn.Module):
     """Conv (no bias) -> BatchNorm -> optional ReLU.
 
@@ -63,13 +115,9 @@ class ConvBN(nn.Module):
             kernel_init=self.kernel_init,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name="bn",
-        )(x)
+        x = FoldableBatchNorm(momentum=0.9, epsilon=1e-5, name="bn")(
+            x, use_running_average=not train
+        )
         if self.use_relu:
             x = nn.relu(x)
         return x.astype(self.dtype)
@@ -126,12 +174,12 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize to (H, W) with half-pixel centers.
 
     Matches torch ``F.interpolate(mode='bilinear', align_corners=False)``
-    used throughout the reference (``build_bisenet.py:150-158,164``)."""
+    used throughout the reference (``build_bisenet.py:150-158,164``).
+    Computed in the input dtype: the x8 logits upsample at 1024x512 writes
+    1.3 GB in f32 vs 0.65 GB in bf16, and interpolation is a convex
+    combination — bf16-safe."""
     b, _, _, c = x.shape
-    out = jax.image.resize(
-        x.astype(jnp.float32), (b, size[0], size[1], c), method="bilinear"
-    )
-    return out.astype(x.dtype)
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
 
 
 def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

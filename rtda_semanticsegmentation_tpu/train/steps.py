@@ -52,25 +52,35 @@ REAL_LABEL = 1.0  # source domain (reference train.py:188-189)
 FAKE_LABEL = 0.0  # target domain
 
 
-def _apply_train(mstate: ModelState, params, batch_stats, x):
+def _apply_train(mstate: ModelState, params, batch_stats, x, remat: bool = False):
     """Train-mode forward; returns (primary logits, new batch_stats).
 
     Models return (logits, aux1, aux2) in train mode; like every reference
     train loop we use outputs[0] only (``train.py:113-120``) — the unused aux
     heads are dead code XLA eliminates, so parity costs nothing.
+
+    ``remat`` wraps the forward in ``jax.checkpoint`` so the backward
+    recomputes activations instead of keeping them resident — the standard
+    TPU trade of MXU FLOPs for HBM when scaling batch or resolution.
     """
-    variables = {"params": params}
-    if batch_stats:
-        variables["batch_stats"] = batch_stats
-        outs, mutated = mstate.apply_fn(
-            variables, x, True, mutable=["batch_stats"]
-        )
-        new_bs = mutated["batch_stats"]
-    else:
-        outs = mstate.apply_fn(variables, x, True)
-        new_bs = batch_stats
-    logits = outs[0] if isinstance(outs, tuple) else outs
-    return logits, new_bs
+
+    def fwd(params, batch_stats, x):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            outs, mutated = mstate.apply_fn(
+                variables, x, True, mutable=["batch_stats"]
+            )
+            new_bs = mutated["batch_stats"]
+        else:
+            outs = mstate.apply_fn(variables, x, True)
+            new_bs = batch_stats
+        logits = outs[0] if isinstance(outs, tuple) else outs
+        return logits, new_bs
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+    return fwd(params, batch_stats, x)
 
 
 def _seg_loss(
@@ -125,7 +135,9 @@ def make_train_step(
         images = images.astype(compute_dtype)
 
         def loss_fn(params):
-            logits, new_bs = _apply_train(g, params, g.batch_stats, images)
+            logits, new_bs = _apply_train(
+                g, params, g.batch_stats, images, cfg.train.remat
+            )
             loss, parts = _seg_loss(logits, labels, cfg)
             return loss, (new_bs, parts)
 
@@ -159,8 +171,10 @@ def make_train_step(
         def g_forward(params):
             """Source then target forward — BN stats updated sequentially,
             matching the reference's two successive train-mode calls."""
-            pred_s, bs1 = _apply_train(g, params, g.batch_stats, images_s)
-            pred_t, bs2 = _apply_train(g, params, bs1, images_t)
+            pred_s, bs1 = _apply_train(
+                g, params, g.batch_stats, images_s, cfg.train.remat
+            )
+            pred_t, bs2 = _apply_train(g, params, bs1, images_t, cfg.train.remat)
             return pred_s, pred_t, bs2
 
         # --- Discriminator step (reference train.py:250-278) ---

@@ -293,3 +293,18 @@ def test_deeplabv2_frozen_bn_params_not_updated():
         state.generator.batch_stats, state1.generator.batch_stats,
     )
     assert max(jax.tree.leaves(bs_diff)) > 0.0
+
+
+def test_remat_step_matches_plain():
+    """jax.checkpoint is a memory/compute trade, not a semantic change."""
+    cfg = tiny_config(augment__pipeline="no_new_aug")
+    cfg_r = cfg.replace(train=dataclasses.replace(cfg.train, remat=True))
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    batch, rng = make_batch(5), jax.random.PRNGKey(2)
+    s0 = build_state(cfg)
+    _, m_plain = jax.jit(make_train_step(cfg, g_sched))(fresh(s0), batch, rng)
+    _, m_remat = jax.jit(make_train_step(cfg_r, g_sched))(fresh(s0), batch, rng)
+    assert float(m_plain["loss"]) == pytest.approx(float(m_remat["loss"]), rel=1e-6)
+    assert float(m_plain["grad_norm"]) == pytest.approx(
+        float(m_remat["grad_norm"]), rel=1e-4
+    )
