@@ -10,6 +10,7 @@ riding ICI.
 """
 
 from .multihost import ensure_distributed
+from .tp import shard_state, tp_shardings
 from .mesh import (
     MeshContext,
     batch_sharding,
@@ -25,4 +26,6 @@ __all__ = [
     "replicated",
     "shard_batch",
     "ensure_distributed",
+    "shard_state",
+    "tp_shardings",
 ]

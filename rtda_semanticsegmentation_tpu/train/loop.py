@@ -37,7 +37,7 @@ from ..models.factory import (
     load_pretrained_backbone,
 )
 from ..obs import make_logger, performance_metrics
-from ..parallel import create_mesh
+from ..parallel import create_mesh, shard_state
 from .checkpoint import CheckpointManager
 from .evaluate import evaluate, make_eval_step
 from .optim import build_discriminator_tx, build_generator_tx
@@ -141,7 +141,8 @@ class Trainer:
                 f"{cfg.data.eval_batch_size}) must be divisible by the data "
                 f"axis size {n_data}; set mesh.data or adjust batch sizes"
             )
-        self.state = jax.device_put(self.state, self.mesh_ctx.replicated())
+        # Pure DP replicates; model>1 shards wide conv kernels (TP).
+        self.state = shard_state(self.state, self.mesh_ctx)
         g_sched = poly_lr_schedule(
             cfg.optimizer.learning_rate, self.max_iter, cfg.optimizer.poly_power
         )
@@ -241,7 +242,7 @@ def run_experiment(
             )
         else:
             state, meta = out
-            state = jax.device_put(state, trainer.mesh_ctx.replicated())
+            state = shard_state(state, trainer.mesh_ctx)
             start_epoch = meta["epoch"] + 1
             best_per_class = meta.get("per_class_ious")
             say(

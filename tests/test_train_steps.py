@@ -308,3 +308,43 @@ def test_remat_step_matches_plain():
     assert float(m_plain["grad_norm"]) == pytest.approx(
         float(m_remat["grad_norm"]), rel=1e-4
     )
+
+
+def test_dp_tp_mesh_matches_single_device():
+    """(data=4, model=2) mesh with output-channel TP on wide conv kernels
+    produces the same loss as unsharded execution — multi-axis SPMD is a
+    performance transform only."""
+    from rtda_semanticsegmentation_tpu.config import MeshConfig
+    from rtda_semanticsegmentation_tpu.parallel import shard_state
+
+    cfg = tiny_config(augment__pipeline="no_new_aug")
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    step = make_train_step(cfg, g_sched)
+    batch = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).randint(0, 256, (8, H, W, 3), np.uint8)
+        ),
+        "label": jnp.asarray(
+            np.random.RandomState(1).randint(0, C, (8, H, W), np.int32)
+        ),
+    }
+    rng = jax.random.PRNGKey(0)
+    _, m_single = jax.jit(step)(build_state(cfg), batch, rng)
+
+    ctx = create_mesh(MeshConfig(data=4, model=2))
+    assert dict(ctx.mesh.shape) == {"data": 4, "model": 2}
+    state = shard_state(build_state(cfg), ctx, min_channels=128)
+    # at least one kernel actually sharded on the model axis
+    shardings = jax.tree.map(lambda x: x.sharding.spec, state.generator.params)
+    assert any(
+        spec == jax.sharding.PartitionSpec(None, None, None, "model")
+        for spec in jax.tree.leaves(shardings, is_leaf=lambda s: isinstance(s, jax.sharding.PartitionSpec))
+    )
+    sharded_batch = {
+        "image": shard_batch(ctx, np.asarray(batch["image"])),
+        "label": shard_batch(ctx, np.asarray(batch["label"])),
+    }
+    new_state, m_tp = jax.jit(step)(state, sharded_batch, rng)
+    np.testing.assert_allclose(
+        float(m_tp["loss"]), float(m_single["loss"]), rtol=2e-5
+    )
