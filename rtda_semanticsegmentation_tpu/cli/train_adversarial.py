@@ -27,11 +27,21 @@ def main(argv=None):
                         "reference config.py:278).")
     p.add_argument("--disc_lr", type=float, default=None,
                    help="Discriminator Adam LR (default 2.5e-5).")
+    p.add_argument("--target_dataset", default=None,
+                   choices=("cityscapes", "synthetic"),
+                   help="Unlabeled target stream (default cityscapes; the "
+                        "reference hardcodes Cityscapes train split).")
     args = p.parse_args(argv)
     ensure_distributed()
     cfg = args_to_config(args, adversarial=True)
     import dataclasses
 
+    if args.target_dataset:
+        cfg = cfg.replace(
+            data=dataclasses.replace(
+                cfg.data, adversarial_target_dataset=args.target_dataset
+            )
+        )
     adv_over = {
         k: v
         for k, v in {

@@ -62,6 +62,7 @@ class Loader:
                 f"{process_count} processes"
             )
         self._pool: Optional[ThreadPoolExecutor] = None
+        self._prefetcher: Optional[ThreadPoolExecutor] = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -83,6 +84,12 @@ class Loader:
         if self._pool is None:
             self._pool = ThreadPoolExecutor(
                 max_workers=self.num_workers, thread_name_prefix="decode"
+            )
+            # Batch-level prefetch runs on its OWN single thread: a
+            # decode_batch task submitted into the decode pool would
+            # pool.map into the same pool and deadlock at num_workers=1.
+            self._prefetcher = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="batch-prefetch"
             )
         return self._pool
 
@@ -109,7 +116,7 @@ class Loader:
         for b in range(n_batches):
             cur = nxt if nxt is not None else decode_batch(b)
             if b + 1 < n_batches:
-                fut = pool.submit(decode_batch, b + 1)
+                fut = self._prefetcher.submit(decode_batch, b + 1)
             else:
                 fut = None
             yield cur

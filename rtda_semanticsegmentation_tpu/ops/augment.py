@@ -36,7 +36,9 @@ import jax.numpy as jnp
 from ..config import AugmentConfig
 from .colorspace import hls_to_rgb, hsv_to_rgb, rgb_to_hls, rgb_to_hsv
 
-_GRAY_WEIGHTS = jnp.array([0.299, 0.587, 0.114])  # ITU-R 601 luma (torchvision)
+# ITU-R 601 luma (torchvision); tuple, not jnp array: module import must
+# not touch a device backend.
+_GRAY_WEIGHTS = (0.299, 0.587, 0.114)
 
 
 def _blend(a: jnp.ndarray, b: jnp.ndarray, ratio: jnp.ndarray) -> jnp.ndarray:
@@ -48,12 +50,12 @@ def _brightness(img, factor):
 
 
 def _contrast(img, factor):
-    mean = jnp.mean(img @ _GRAY_WEIGHTS)
+    mean = jnp.mean(img @ jnp.asarray(_GRAY_WEIGHTS, img.dtype))
     return _blend(img, jnp.full_like(img, mean), factor)
 
 
 def _saturation(img, factor):
-    gray = (img @ _GRAY_WEIGHTS)[..., None]
+    gray = (img @ jnp.asarray(_GRAY_WEIGHTS, img.dtype))[..., None]
     return _blend(img, jnp.broadcast_to(gray, img.shape), factor)
 
 

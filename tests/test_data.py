@@ -148,3 +148,12 @@ def test_eval_batches_pads_tail(cityscapes_root):
     imgs, labs, valid = out[-1]
     assert imgs.shape[0] == 2
     assert valid.tolist() == [True, False]
+
+
+def test_loader_single_worker_no_deadlock():
+    """Regression: batch prefetch used to submit into the decode pool and
+    deadlock at num_workers=1."""
+    ds = SyntheticDataset(length=8, size=(16, 16))
+    loader = Loader(ds, batch_size=4, shuffle=False, num_workers=1)
+    assert sum(1 for _ in loader) == 2
+    assert sum(1 for _ in loader) == 2
