@@ -236,6 +236,17 @@ def run_experiment(
     if t.resume_checkpoint:
         out = trainer.ckpt.restore_into(state, t.resume_checkpoint)
         if out is None:
+            # A short run may have written only the other stream (periodic
+            # saves skip the final epoch and fire every N epochs) — fall
+            # back rather than silently restarting.
+            other = "best" if t.resume_checkpoint == "latest" else "latest"
+            out = trainer.ckpt.restore_into(state, other)
+            if out is not None:
+                say(
+                    f"no '{t.resume_checkpoint}' checkpoint under "
+                    f"{trainer.ckpt.root}; resuming from '{other}' instead"
+                )
+        if out is None:
             say(
                 f"resume requested ({t.resume_checkpoint}) but no checkpoint "
                 f"found under {trainer.ckpt.root}; starting fresh"

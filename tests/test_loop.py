@@ -99,3 +99,15 @@ def test_adversarial_end_to_end(tmp_path):
     keys = set().union(*(line.keys() for line in lines))
     assert any("loss_d" in k for k in keys), keys
     assert any("loss_lovasz" in k for k in keys), keys
+
+
+def test_resume_falls_back_to_best_when_no_latest(tmp_path):
+    """A short run writes only the best stream (periodic saves fire every 5
+    epochs and skip the final one); resume=latest must fall back to best."""
+    cfg = e2e_cfg(tmp_path, train__epochs=2)  # freq 5 -> no periodic saved
+    run_experiment(cfg, run_name="short", measure_performance=False, verbose=False)
+    cfg2 = e2e_cfg(tmp_path, train__epochs=3, train__resume_checkpoint="latest")
+    report = run_experiment(cfg2, run_name="resumed", measure_performance=False, verbose=False)
+    # best was saved at epoch with highest mIoU; resume at its epoch+1
+    # then train the remaining epochs: banked 6 steps + (3 - (e+1)) * 3
+    assert report["global_step"] > 6  # continued, not restarted
