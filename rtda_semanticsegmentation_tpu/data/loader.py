@@ -187,6 +187,28 @@ def zip_source_target(source_iter, target_inf: InfiniteLoader):
         yield {**batch, "target_image": tgt["image"]}
 
 
+def lookahead(iterator, depth: int = 1):
+    """Run ``iterator`` ``depth`` items ahead on a worker thread.
+
+    Overlaps host-side production (PNG decode, device_put) with the
+    consumer's device work — used by the eval loop so the accelerator never
+    waits on the decoder."""
+    it = iter(iterator)
+    with ThreadPoolExecutor(max_workers=1, thread_name_prefix="lookahead") as ex:
+        futures = collections.deque()
+        for _ in range(max(1, depth)):
+            futures.append(ex.submit(next, it, _SENTINEL))
+        while futures:
+            item = futures.popleft().result()
+            if item is _SENTINEL:
+                break
+            futures.append(ex.submit(next, it, _SENTINEL))
+            yield item
+
+
+_SENTINEL = object()
+
+
 def eval_batches(
     dataset: SegmentationDataset,
     batch_size: int,

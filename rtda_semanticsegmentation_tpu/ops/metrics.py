@@ -3,8 +3,8 @@
 TPU-native counterparts of the reference's numpy helpers
 (``utils.py:62-89`` ``fast_hist`` and ``utils.py:92-116`` ``per_class_iou``):
 the confusion matrix accumulates *on device* inside the jitted eval step (one
-segment-sum per batch, a single host transfer per evaluation) instead of a
-per-image ``.cpu().numpy()`` + ``np.bincount`` round-trip
+one-hot GEMM on the MXU per batch, a single host transfer per evaluation)
+instead of a per-image ``.cpu().numpy()`` + ``np.bincount`` round-trip
 (reference ``validation.py:98-109``).
 """
 

@@ -27,6 +27,7 @@ from ..data.loader import (
     InfiniteLoader,
     Loader,
     eval_batches,
+    lookahead,
     prefetch_to_device,
     zip_source_target,
 )
@@ -201,7 +202,7 @@ class Trainer:
         return evaluate(
             self.eval_step,
             self.g_variables(),
-            sharded_batches(),
+            lookahead(sharded_batches(), self.cfg.data.prefetch_batches),
             self.cfg.model.num_classes,
         )
 
