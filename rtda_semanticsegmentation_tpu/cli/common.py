@@ -58,10 +58,11 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
     p.add_argument("--compute_dtype", choices=("bfloat16", "float32"))
     p.add_argument("--eval_batch_size", type=int)
     p.add_argument("--train_size", type=int, nargs=2, metavar=("H", "W"),
-                   help="Training resize (default: GTA5 720 1280, reference "
-                        "config.py:16-21).")
+                   help="Training resize override for ANY train dataset "
+                        "(defaults: GTA5 720 1280 / Cityscapes 512 1024, "
+                        "reference config.py:16-21).")
     p.add_argument("--eval_size", type=int, nargs=2, metavar=("H", "W"),
-                   help="Eval/Cityscapes resize (default 512 1024).")
+                   help="Validation resize override (default 512 1024).")
     p.add_argument("--no_perf", action="store_true",
                    help="Skip the end-of-run latency/FLOPs measurement.")
 
@@ -94,8 +95,8 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
     rep("data", cityscapes_path=args.cityscapes_path,
         gta5_path=args.gta5_path, train_dataset=args.train_dataset,
         val_dataset=args.val_dataset, eval_batch_size=args.eval_batch_size,
-        gta5_size=tuple(args.train_size) if args.train_size else None,
-        cityscapes_size=tuple(args.eval_size) if args.eval_size else None)
+        train_size_override=tuple(args.train_size) if args.train_size else None,
+        eval_size_override=tuple(args.eval_size) if args.eval_size else None)
     rep("train", epochs=args.epochs, batch_size=args.batch_size,
         resume_checkpoint=args.resume_checkpoint, seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,

@@ -75,6 +75,10 @@ class DataConfig:
     gta5_convert_on_the_fly: bool = False
     gta5_size: Tuple[int, int] = (720, 1280)  # (H, W) train resize for GTA5
     cityscapes_size: Tuple[int, int] = (512, 1024)  # (H, W) for Cityscapes
+    # Explicit overrides decoupling resolution from dataset identity (the
+    # per-dataset sizes above mirror the reference's config.py:16-21):
+    train_size_override: Optional[Tuple[int, int]] = None
+    eval_size_override: Optional[Tuple[int, int]] = None
     num_workers: int = 8  # host decode threads
     prefetch_batches: int = 2  # device prefetch depth
     eval_batch_size: int = 8  # reference validates at batch 1; we batch it
@@ -219,9 +223,15 @@ class ExperimentConfig:
 
     @property
     def train_size(self) -> Tuple[int, int]:
+        if self.data.train_size_override is not None:
+            return self.data.train_size_override
         if self.data.train_dataset == "cityscapes":
             return self.data.cityscapes_size
         return self.data.gta5_size
+
+    @property
+    def eval_size(self) -> Tuple[int, int]:
+        return self.data.eval_size_override or self.data.cityscapes_size
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

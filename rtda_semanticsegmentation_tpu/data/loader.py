@@ -55,7 +55,7 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.process_index = process_index
         self.process_count = process_count
-        self.epoch = 0
+        self.epoch = 0  # advanced per-__iter__; set_epoch() re-syncs on resume
         if batch_size % process_count:
             raise ValueError(
                 f"global batch {batch_size} not divisible by "
@@ -73,6 +73,12 @@ class Loader:
     @property
     def steps_per_epoch(self) -> int:
         return len(self)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Re-sync the shuffle sequence after a checkpoint resume, so the
+        resumed run draws the same per-epoch permutations an uninterrupted
+        run would (seed + epoch)."""
+        self.epoch = int(epoch)
 
     def _order(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -145,21 +151,26 @@ class InfiniteLoader:
 def prefetch_to_device(iterator, mesh_ctx=None, depth: int = 2):
     """Keep ``depth`` batches resident on device ahead of the consumer.
 
-    With a mesh context, arrays are device_put with batch sharding (each
-    host's shard placed on its local devices); without one they are placed
-    on the default device. Overlaps H2D DMA with the previous step's
-    compute — the TPU analog of the reference's ``pin_memory`` +
-    worker-process pipeline.
+    With a mesh context, arrays become GLOBAL jax.Arrays with the batch dim
+    sharded over ``data``. Single-process: a plain device_put. Multi-host:
+    the Loader hands each process only its local slice of the global batch,
+    so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` (device_put would instead
+    treat the local slice as the whole global value). Overlaps H2D DMA with
+    the previous step's compute — the TPU analog of the reference's
+    ``pin_memory`` + worker-process pipeline.
     """
     import jax
 
-    def put(batch: dict):
+    from ..parallel.mesh import globalize_batch
+
+    def put_one(v):
         if mesh_ctx is None:
-            return {k: jax.device_put(v) for k, v in batch.items()}
-        return {
-            k: jax.device_put(v, mesh_ctx.batch_sharding(np.ndim(v)))
-            for k, v in batch.items()
-        }
+            return jax.device_put(v)
+        return globalize_batch(mesh_ctx, v, is_local_shard=True)
+
+    def put(batch: dict):
+        return {k: put_one(v) for k, v in batch.items()}
 
     queue = collections.deque()
     it = iter(iterator)

@@ -49,13 +49,17 @@ def init_model(
     ``module.init`` on a zeros input; weights follow each module's declared
     initializer (Kaiming / N(0, 0.01) / N(0, 0.02) — parity with the
     reference init schemes)."""
+    import inspect
+
     dummy = jnp.zeros(input_shape, jnp.float32)
-    try:
+    # Modules without a train-mode switch (FCDiscriminator has no BN /
+    # dropout, reference discriminator.py:25-60). Inspect the signature
+    # rather than catching TypeError, which would also swallow genuine
+    # errors raised inside tracing.
+    params = inspect.signature(type(module).__call__).parameters
+    if "train" in params or len(params) > 2:
         return module.init(rng, dummy, train)
-    except TypeError:
-        # Modules without a train-mode switch (FCDiscriminator has no BN /
-        # dropout, reference discriminator.py:25-60).
-        return module.init(rng, dummy)
+    return module.init(rng, dummy)
 
 
 def load_pretrained_backbone(variables: dict, path: str, model_name: str) -> dict:

@@ -26,30 +26,43 @@ def confusion_matrix(
 
     Returns an (num_classes, num_classes) int32 matrix.
     """
+    # MXU formulation: hist = onehot(labels)^T @ onehot(preds). A scatter-add
+    # (bincount) serializes on TPU; this is a (C+1, P) x (P, C+1) matmul the
+    # systolic array eats at memory speed. Invalid pixels route to an
+    # overflow class that is sliced away. f32 GEMM accumulation counts
+    # exactly only to 2^24 per cell, so inputs are processed in chunks of at
+    # most 2^22 pixels whose exact f32 partial counts are summed in int32
+    # (exact to 2^31) — correct for any eval batch size.
     labels = labels.reshape(-1).astype(jnp.int32)
     preds = preds.reshape(-1).astype(jnp.int32)
-    valid = (
-        (labels >= 0)
-        & (labels < num_classes)
-        & (preds >= 0)
-        & (preds < num_classes)
-    )
-    # MXU formulation: hist = onehot(labels)^T @ onehot(preds). A scatter-add
-    # (bincount) serializes on TPU; this is one (C+1, P) x (P, C+1) matmul the
-    # systolic array eats at memory speed. Invalid pixels route to an
-    # overflow class that is sliced away. f32 accumulation counts exactly up
-    # to 2^24 pixels per bin — far above any eval batch.
-    overflow = num_classes
-    l = jnp.where(valid, labels, overflow)
-    p = jnp.where(valid, preds, overflow)
-    oh_l = jax.nn.one_hot(l, num_classes + 1, dtype=jnp.bfloat16)
-    oh_p = jax.nn.one_hot(p, num_classes + 1, dtype=jnp.bfloat16)
-    hist = jax.lax.dot_general(
-        oh_l, oh_p,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return hist[:num_classes, :num_classes].astype(jnp.int32)
+    chunk = 1 << 22
+    total = labels.shape[0]
+    n_chunks = -(-total // chunk)
+    pad = n_chunks * chunk - total
+    if pad:
+        labels = jnp.pad(labels, (0, pad), constant_values=-1)
+        preds = jnp.pad(preds, (0, pad), constant_values=-1)
+    labels = labels.reshape(n_chunks, chunk)
+    preds = preds.reshape(n_chunks, chunk)
+
+    def one_chunk(carry, lp):
+        l, p = lp
+        valid = (l >= 0) & (l < num_classes) & (p >= 0) & (p < num_classes)
+        overflow = num_classes
+        l = jnp.where(valid, l, overflow)
+        p = jnp.where(valid, p, overflow)
+        oh_l = jax.nn.one_hot(l, num_classes + 1, dtype=jnp.bfloat16)
+        oh_p = jax.nn.one_hot(p, num_classes + 1, dtype=jnp.bfloat16)
+        hist = jax.lax.dot_general(
+            oh_l, oh_p,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return carry + hist[:num_classes, :num_classes].astype(jnp.int32), None
+
+    init = jnp.zeros((num_classes, num_classes), jnp.int32)
+    hist, _ = jax.lax.scan(one_chunk, init, (labels, preds))
+    return hist
 
 
 def per_class_iou(hist: jnp.ndarray, epsilon: float = 1e-5) -> jnp.ndarray:

@@ -15,6 +15,7 @@ from .mesh import (
     MeshContext,
     batch_sharding,
     create_mesh,
+    globalize_batch,
     replicated,
     shard_batch,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "create_mesh",
     "replicated",
     "shard_batch",
+    "globalize_batch",
     "ensure_distributed",
     "shard_state",
     "tp_shardings",

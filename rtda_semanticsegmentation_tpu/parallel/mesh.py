@@ -91,14 +91,34 @@ def replicated(ctx: MeshContext) -> NamedSharding:
     return ctx.replicated()
 
 
+def globalize_batch(ctx: MeshContext, array, is_local_shard: bool = False):
+    """Turn a host numpy batch into a global jax.Array sharded over ``data``.
+
+    Single-process: a plain sharded device_put. Multi-host: assembled with
+    ``jax.make_array_from_process_local_data`` — device_put would treat the
+    host's value as the whole global array. ``is_local_shard`` says whether
+    the host holds only its slice of the global batch (the train Loader) or
+    the full global batch (the eval loader), in which case this host's
+    contiguous slice is cut out first (mesh device order follows
+    ``jax.devices()``, which is grouped by process).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(array, ctx.batch_sharding(np.ndim(array)))
+    sharding = ctx.batch_sharding(np.ndim(array))
+    if not is_local_shard:
+        per = array.shape[0] // jax.process_count()
+        lo = jax.process_index() * per
+        array = array[lo : lo + per]
+    return jax.make_array_from_process_local_data(sharding, array)
+
+
 def shard_batch(ctx: MeshContext, *arrays: Any):
-    """Device-put host arrays with the batch dim sharded over ``data``.
+    """Device-put host arrays (full global batches) with the batch dim
+    sharded over ``data``.
 
     The global batch must divide by the data-axis size (the loader pads /
     drops to guarantee this, mirroring the reference's ``drop_last=True``,
     reference ``data_loader.py:209-214``).
     """
-    out = tuple(
-        jax.device_put(a, ctx.batch_sharding(np.ndim(a))) for a in arrays
-    )
+    out = tuple(globalize_batch(ctx, a) for a in arrays)
     return out[0] if len(out) == 1 else out

@@ -68,16 +68,22 @@ class CheckpointManager:
         base = cfg.train.checkpoint_dir
         suffix = "_adversarial_GTA2City" if cfg.adversarial.enabled else ""
         # Reference dir convention: checkpoints/<model>[_adversarial_GTA2City]
-        # (main.py:146, main_adversarial.py:112-114).
+        # (main.py:146, main_adversarial.py:112-114); an explicit run name
+        # gets its own subdirectory so concurrent runs don't clobber each
+        # other's checkpoints.
         name = run_name or f"{cfg.model.name}{suffix}"
         self.root = os.path.abspath(os.path.join(base, name))
         self.cfg = cfg
         opts = ocp.CheckpointManagerOptions(max_to_keep=1, create=True)
+        self._streams = {
+            "best": cfg.train.best_checkpoint_name,
+            "latest": cfg.train.periodic_checkpoint_name,
+        }
         self._best = ocp.CheckpointManager(
-            os.path.join(self.root, "best"), options=opts
+            os.path.join(self.root, self._streams["best"]), options=opts
         )
         self._latest = ocp.CheckpointManager(
-            os.path.join(self.root, "latest"), options=opts
+            os.path.join(self.root, self._streams["latest"]), options=opts
         )
 
     # -- save ---------------------------------------------------------------
@@ -125,6 +131,11 @@ class CheckpointManager:
         checkpoint — the discriminator subtree is simply ignored (reference
         ``utils.py:443-446``); the reverse raises.
         """
+        if which not in ("latest", "best"):
+            raise ValueError(
+                f"resume checkpoint must be 'latest' or 'best', got {which!r}"
+                f" (streams live under {self.root})"
+            )
         mgr = self._latest if which == "latest" else self._best
         restored = self._restore(mgr, state)
         if restored is None:

@@ -38,7 +38,7 @@ from ..models.factory import (
     load_pretrained_backbone,
 )
 from ..obs import make_logger, performance_metrics
-from ..parallel import create_mesh, shard_state
+from ..parallel import create_mesh, globalize_batch, shard_state
 from .checkpoint import CheckpointManager
 from .evaluate import evaluate, make_eval_step
 from .optim import build_discriminator_tx, build_generator_tx
@@ -59,7 +59,7 @@ class Trainer:
             cfg.data.train_dataset, "train", cfg.train_size, cfg.data
         )
         self.val_ds = build_dataset(
-            cfg.data.val_dataset, "val", cfg.data.cityscapes_size, cfg.data
+            cfg.data.val_dataset, "val", cfg.eval_size, cfg.data
         )
         self.train_loader = Loader(
             self.train_ds,
@@ -73,10 +73,12 @@ class Trainer:
         )
         self.target_loader: Optional[InfiniteLoader] = None
         if cfg.adversarial.enabled:
+            # Target stream at the train resolution (reference uses the
+            # Cityscapes train transforms, config.py:227-233).
             target_ds = build_dataset(
                 cfg.data.adversarial_target_dataset,
                 cfg.data.adversarial_target_split,
-                cfg.data.cityscapes_size,
+                cfg.data.train_size_override or cfg.data.cityscapes_size,
                 cfg.data,
             )
             self.target_loader = InfiniteLoader(
@@ -160,7 +162,21 @@ class Trainer:
             make_train_step(cfg, g_sched, d_sched), donate_argnums=0
         )
         self.eval_step = jax.jit(make_eval_step(cfg, self.model.apply))
-        self.ckpt = CheckpointManager(cfg)
+
+        def _predict(variables, images_u8):
+            from ..ops.augment import normalize_u8
+
+            x = normalize_u8(images_u8, cfg.augment).astype(
+                jax.numpy.dtype(cfg.model.compute_dtype)
+            )
+            return jax.numpy.argmax(self.model.apply(variables, x, False), -1)
+
+        # one compiled forward for image logging / galleries (an un-jitted
+        # model.apply dispatches every op separately)
+        self.predict = jax.jit(_predict)
+        # Explicit run names get isolated checkpoint dirs (no explicit
+        # name -> the reference's shared per-model directory).
+        self.ckpt = CheckpointManager(cfg, run_name=cfg.obs.run_name or "")
         self.aug_rng = jax.random.PRNGKey(t.seed + 17)
 
     # -- pieces ---------------------------------------------------------
@@ -195,7 +211,7 @@ class Trainer:
                 self.cfg.data.num_workers,
             ):
                 yield tuple(
-                    jax.device_put(a, self.mesh_ctx.batch_sharding(a.ndim))
+                    globalize_batch(self.mesh_ctx, a)
                     for a in (images, labels, valid)
                 )
 
@@ -256,6 +272,11 @@ def run_experiment(
             state, meta = out
             state = shard_state(state, trainer.mesh_ctx)
             start_epoch = meta["epoch"] + 1
+            # shuffle-stream continuity: epoch N after resume uses the same
+            # permutation an uninterrupted run would
+            trainer.train_loader.set_epoch(start_epoch)
+            if trainer.target_loader is not None:
+                trainer.target_loader.loader.set_epoch(start_epoch)
             best_per_class = meta.get("per_class_ious")
             say(
                 f"resumed from epoch {meta['epoch']} "
@@ -316,22 +337,19 @@ def run_experiment(
             # first val sample every LOG_IMAGES_FREQ epochs)
             if (epoch + 1) % t.log_images_freq_epoch == 0 and len(trainer.val_ds):
                 try:
-                    from ..ops.augment import normalize_u8 as _norm
-
                     img_u8, label = trainer.val_ds.load(0)
-                    out = trainer.model.apply(
-                        trainer.g_variables(),
-                        _norm(
-                            jax.numpy.asarray(img_u8)[None], cfg.augment
-                        ).astype(jax.numpy.dtype(cfg.model.compute_dtype)),
-                        False,
+                    trainer.state = state
+                    pred = np.asarray(
+                        trainer.predict(
+                            trainer.g_variables(),
+                            jax.numpy.asarray(img_u8)[None],
+                        )[0]
                     )
-                    pred = np.asarray(jax.numpy.argmax(out[0], -1))
                     logger.log_segmentation_images(
                         img_u8, label, pred, int(state.step)
                     )
-                except Exception:
-                    pass
+                except Exception as e:
+                    say(f"validation image logging skipped: {e}")
 
             if val["miou"] > float(state.best_miou):
                 state = state.replace(
@@ -369,7 +387,7 @@ def run_experiment(
     if measure_performance:
         # Reference measures at the Cityscapes eval resolution (512x1024
         # dummy input, utils.py:316-326) — here that size comes from config.
-        perf_h, perf_w = cfg.data.cityscapes_size
+        perf_h, perf_w = cfg.eval_size
         perf = performance_metrics(
             trainer.model.apply,
             trainer.g_variables(),
@@ -408,19 +426,14 @@ def run_experiment(
     # End-of-run prediction gallery from the best model (reference
     # log_best_model_predictions, utils.py:563-645: 6 samples).
     try:
-        from ..ops.augment import normalize_u8 as _norm
-
         n_gallery = min(6, len(trainer.val_ds))
         for i in range(n_gallery):
             img_u8, label = trainer.val_ds.load(i)
-            out = trainer.model.apply(
-                trainer.g_variables(),
-                _norm(jax.numpy.asarray(img_u8)[None], cfg.augment).astype(
-                    jax.numpy.dtype(cfg.model.compute_dtype)
-                ),
-                False,
+            pred = np.asarray(
+                trainer.predict(
+                    trainer.g_variables(), jax.numpy.asarray(img_u8)[None]
+                )[0]
             )
-            pred = np.asarray(jax.numpy.argmax(out[0], -1))
             logger.log_segmentation_images(
                 img_u8, label, pred, final_step, tag=f"best/prediction_{i}"
             )

@@ -74,8 +74,15 @@ def build_discriminator_tx(
     parts = []
     if cfg.disc_weight_decay:
         parts.append(optax.add_decayed_weights(cfg.disc_weight_decay))
-    parts.append(
-        optax.scale_by_adam(b1=cfg.disc_adam_b1, b2=cfg.disc_adam_b2, eps=1e-8)
-    )
+    if cfg.disc_optimizer == "adam":
+        parts.append(
+            optax.scale_by_adam(b1=cfg.disc_adam_b1, b2=cfg.disc_adam_b2, eps=1e-8)
+        )
+    elif cfg.disc_optimizer == "sgd":
+        parts.append(optax.trace(decay=0.9, nesterov=False))
+    else:
+        raise ValueError(
+            f"unknown disc optimizer {cfg.disc_optimizer!r}; options: adam, sgd"
+        )
     parts.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*parts)

@@ -157,3 +157,14 @@ def test_loader_single_worker_no_deadlock():
     loader = Loader(ds, batch_size=4, shuffle=False, num_workers=1)
     assert sum(1 for _ in loader) == 2
     assert sum(1 for _ in loader) == 2
+
+
+def test_loader_set_epoch_resumes_shuffle_stream():
+    ds = SyntheticDataset(length=12, size=(16, 16))
+    a = Loader(ds, 4, shuffle=True, seed=3)
+    [list(a) for _ in range(3)]  # epochs 0,1,2 consumed
+    epoch3 = [b["image"].copy() for b in a]
+    b_loader = Loader(ds, 4, shuffle=True, seed=3)
+    b_loader.set_epoch(3)
+    epoch3_resumed = [b["image"].copy() for b in b_loader]
+    np.testing.assert_array_equal(epoch3[0], epoch3_resumed[0])
