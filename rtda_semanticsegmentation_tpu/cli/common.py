@@ -51,6 +51,8 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
     p.add_argument("--seed", type=int)
     p.add_argument("--run_name", type=str)
     p.add_argument("--log_backend", choices=("auto", "wandb", "jsonl", "null"))
+    p.add_argument("--log_dir", type=str,
+                   help="Directory for jsonl logs / image panels (default ./logs).")
     p.add_argument("--mesh_data", type=int,
                    help="Data-parallel axis size (-1 = all devices).")
     p.add_argument("--mesh_model", type=int,
@@ -103,6 +105,7 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
         steps_per_epoch=args.steps_per_epoch)
     rep("augment", pipeline=args.augmentation)
     rep("loss", use_lovasz=args.use_lovasz)
-    rep("obs", backend=args.log_backend, run_name=args.run_name)
+    rep("obs", backend=args.log_backend, run_name=args.run_name,
+        log_dir=args.log_dir)
     rep("mesh", data=args.mesh_data, model=args.mesh_model)
     return cfg

@@ -79,6 +79,7 @@ class MetricLogger:
 
             self._wandb = wandb.init(
                 project=self.cfg.obs.project,
+                entity=self.cfg.obs.entity or None,
                 name=self.run_name,
                 config=self._run_config(),
             )

@@ -45,25 +45,47 @@ def timed_latency(
     *args,
     iterations: int = 100,
     warmup: int = 10,
+    blocks: int = 10,
 ) -> Dict[str, float]:
-    """mean/std/p50 latency of fn(*args) with forced per-iter completion."""
-    jit_fn = jax.jit(
-        lambda *a: jnp.sum(jnp.asarray(jax.tree.leaves(fn(*a))[0], jnp.float32))
-    )
-    for _ in range(warmup):
-        float(jit_fn(*args))
-    times = []
-    for _ in range(iterations):
+    """Latency of fn(variables, x) via the compiled-loop protocol.
+
+    ``iterations`` forwards run inside compiled ``lax.fori_loop`` blocks over
+    a 2-entry input ring (index-dependent, so nothing is hoisted), one scalar
+    fetch per block — a per-iteration host fetch would measure transport RTT
+    on relayed runners (see PERFORMANCE.md), the reference's
+    ``torch.cuda.synchronize`` analog being free only on local devices.
+    std/p50 are over the per-block means."""
+    variables, x = args
+    ring = jnp.stack([x, x + jnp.ones_like(x)])
+
+    @jax.jit
+    def loop(variables, ring, n):
+        def body(i, acc):
+            xi = jax.lax.dynamic_index_in_dim(ring, i % 2, keepdims=False)
+            out = jax.tree.leaves(fn(variables, xi))[0]
+            return acc + jnp.sum(out.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(loop(variables, ring, max(warmup, 1)))
+    # Mean from ONE block of all iterations (host round-trip amortized to
+    # RTT/iterations); spread from smaller sub-blocks.
+    t0 = time.perf_counter()
+    float(loop(variables, ring, iterations))
+    mean_s = (time.perf_counter() - t0) / iterations
+    per_block = max(1, iterations // blocks)
+    block_means = []
+    for _ in range(blocks):
         t0 = time.perf_counter()
-        float(jit_fn(*args))
-        times.append(time.perf_counter() - t0)
-    t = np.asarray(times)
+        float(loop(variables, ring, per_block))
+        block_means.append((time.perf_counter() - t0) / per_block)
+    t = np.asarray(block_means)
     return {
-        "mean_latency_ms": float(t.mean() * 1e3),
+        "mean_latency_ms": float(mean_s * 1e3),
         "std_latency_ms": float(t.std() * 1e3),
         "p50_latency_ms": float(np.percentile(t, 50) * 1e3),
-        "mean_fps": float(1.0 / t.mean()),
-        "std_fps": float(t.std() / (t.mean() ** 2)),
+        "mean_fps": float(1.0 / mean_s),
+        "std_fps": float(t.std() / (mean_s**2)),
     }
 
 

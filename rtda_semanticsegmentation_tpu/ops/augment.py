@@ -144,8 +144,17 @@ def coarse_dropout(
     lo, hi = cfg.cd_hole_size
     hh = jax.random.randint(k_h, (m,), lo, hi + 1)
     ww = jax.random.randint(k_w, (m,), lo, hi + 1)
-    y1 = (jax.random.uniform(k_y, (m,)) * (h_img - hh)).astype(jnp.int32)
-    x1 = (jax.random.uniform(k_x, (m,)) * (w_img - ww)).astype(jnp.int32)
+    # Clamp holes to the image (albumentations rejects oversized holes; at
+    # tiny train sizes an unclamped hole would get a negative origin and
+    # blank nearly the whole image).
+    hh = jnp.minimum(hh, h_img)
+    ww = jnp.minimum(ww, w_img)
+    y1 = (
+        jax.random.uniform(k_y, (m,)) * jnp.maximum(h_img - hh, 0)
+    ).astype(jnp.int32)
+    x1 = (
+        jax.random.uniform(k_x, (m,)) * jnp.maximum(w_img - ww, 0)
+    ).astype(jnp.int32)
     active = jnp.arange(m) < n
     rows = jnp.arange(h_img)[:, None]  # (H, 1)
     cols = jnp.arange(w_img)[None, :]  # (1, W)

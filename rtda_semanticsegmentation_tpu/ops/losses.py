@@ -72,17 +72,6 @@ def cross_entropy_with_ignore(
     raise ValueError(f"unknown reduction {reduction!r}")
 
 
-def _lovasz_grad_from_sorted(fg_sorted: jnp.ndarray, gts: jnp.ndarray) -> jnp.ndarray:
-    """Gradient of the Lovasz extension w.r.t. descending-sorted errors.
-
-    Parity with reference ``lovasz_loss.py:47-70``: jaccard_i = 1 - I_i/U_i
-    over prefix sums, then first differences."""
-    intersection = gts - jnp.cumsum(fg_sorted)
-    union = gts + jnp.cumsum(1.0 - fg_sorted)
-    jaccard = 1.0 - intersection / union
-    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
-
-
 def lovasz_softmax(
     probas: jnp.ndarray,
     labels: jnp.ndarray,

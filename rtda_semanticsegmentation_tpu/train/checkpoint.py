@@ -33,7 +33,9 @@ from ..config import ExperimentConfig
 from .state import TrainState
 
 
-def _state_tree(state: TrainState, epoch: int, per_class_ious=None) -> Dict[str, Any]:
+def _state_tree(
+    state: TrainState, epoch: int, per_class_ious=None, num_classes: int = 19
+) -> Dict[str, Any]:
     tree = {
         "epoch": epoch,
         "step": state.step,
@@ -43,15 +45,56 @@ def _state_tree(state: TrainState, epoch: int, per_class_ious=None) -> Dict[str,
             "batch_stats": state.generator.batch_stats,
             "opt_state": state.generator.opt_state,
         },
+        # Always present (zeros when unknown) so both checkpoint streams
+        # share one structure and template restores never need fallbacks.
+        "best_model_per_class_ious": (
+            np.zeros(num_classes, np.float32)
+            if per_class_ious is None
+            else np.asarray(per_class_ious, np.float32)
+        ),
     }
     if state.discriminator is not None:
         tree["discriminator"] = {
             "params": state.discriminator.params,
             "opt_state": state.discriminator.opt_state,
         }
-    if per_class_ious is not None:
-        tree["best_model_per_class_ious"] = np.asarray(per_class_ious)
     return tree
+
+
+def _graft_tree(target, raw):
+    """Rebuild ``target``'s pytree node types from an Orbax raw restore.
+
+    Raw (template-less) restores turn namedtuples into dicts keyed by FIELD
+    NAME, tuples into lists, and empty containers into None — so grafting by
+    name/position is exact, unlike flattening the raw nest (whose dict-key
+    leaf order is alphabetical and silently misassigns e.g. a 10-element
+    optax chain). Used only for cross-format restores where the template
+    cannot match (vanilla run <- adversarial checkpoint).
+    """
+    if raw is None:
+        return target  # empty optax state node
+    if isinstance(target, tuple) and hasattr(target, "_fields"):
+        # raw is a field-name dict from a raw restore, or already the
+        # namedtuple itself after a successful template restore
+        values = (
+            [raw[f] for f in target._fields]
+            if isinstance(raw, dict)
+            else list(raw)
+        )
+        return type(target)(
+            *(_graft_tree(t, v) for t, v in zip(target, values))
+        )
+    if isinstance(target, (tuple, list)):
+        if len(raw) != len(target):
+            raise ValueError(
+                f"checkpoint container length {len(raw)} != state {len(target)}"
+            )
+        return type(target)(
+            _graft_tree(t, r) for t, r in zip(target, raw)
+        )
+    if isinstance(target, dict):
+        return {k: _graft_tree(target[k], raw[k]) for k in target}
+    return raw  # leaf
 
 
 class CheckpointManager:
@@ -89,12 +132,14 @@ class CheckpointManager:
     # -- save ---------------------------------------------------------------
 
     def save_best(self, state: TrainState, epoch: int, per_class_ious) -> None:
-        tree = _state_tree(state, epoch, per_class_ious)
+        tree = _state_tree(
+            state, epoch, per_class_ious, self.cfg.model.num_classes
+        )
         self._best.save(int(state.step), args=ocp.args.StandardSave(tree))
 
     def save_periodic(self, state: TrainState, epoch: int) -> None:
         """Overwrite the rolling 'latest' checkpoint (max_to_keep=1)."""
-        tree = _state_tree(state, epoch)
+        tree = _state_tree(state, epoch, None, self.cfg.model.num_classes)
         self._latest.save(int(state.step), args=ocp.args.StandardSave(tree))
 
     def wait(self) -> None:
@@ -104,21 +149,43 @@ class CheckpointManager:
     # -- restore ------------------------------------------------------------
 
     def _restore(self, mgr, state: TrainState) -> Optional[Dict[str, Any]]:
+        """Returns the restored tree, or None if the stream is empty.
+
+        Same-mode resumes take the safe template path (both save streams
+        share one structure by construction). A structure mismatch means a
+        cross-format restore (vanilla run reading an adversarial
+        checkpoint); then a raw restore is grafted back onto the state's
+        pytree types by field name/position (never by flattened leaf order).
+        """
         step = mgr.latest_step()
         if step is None:
             return None
-        template = _state_tree(state, 0)
-        template["best_model_per_class_ious"] = np.zeros(
-            self.cfg.model.num_classes, np.float32
-        )
+        template = _state_tree(state, 0, None, self.cfg.model.num_classes)
         try:
-            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
-        except Exception:
-            # Checkpoint without the per-class array (periodic stream) or a
-            # D-less (vanilla) run restoring an adversarial checkpoint:
-            # fall back to structural restore without a template.
-            restored = mgr.restore(step)
-        return restored
+            return mgr.restore(step, args=ocp.args.StandardRestore(template))
+        except (ValueError, KeyError, TypeError) as e:
+            print(
+                f"template restore failed ({type(e).__name__}); attempting "
+                "cross-format raw restore"
+            )
+        raw = mgr.restore(step)
+        out = dict(raw)
+        out["generator"] = {
+            "params": raw["generator"]["params"],
+            "batch_stats": raw["generator"]["batch_stats"],
+            "opt_state": _graft_tree(
+                state.generator.opt_state, raw["generator"]["opt_state"]
+            ),
+        }
+        if state.discriminator is not None and "discriminator" in raw:
+            out["discriminator"] = {
+                "params": raw["discriminator"]["params"],
+                "opt_state": _graft_tree(
+                    state.discriminator.opt_state,
+                    raw["discriminator"]["opt_state"],
+                ),
+            }
+        return out
 
     def restore_into(
         self, state: TrainState, which: str = "latest"
@@ -143,9 +210,8 @@ class CheckpointManager:
         g = state.generator.replace(
             params=restored["generator"]["params"],
             batch_stats=restored["generator"]["batch_stats"],
-            opt_state=jax.tree.unflatten(
-                jax.tree.structure(state.generator.opt_state),
-                jax.tree.leaves(restored["generator"]["opt_state"]),
+            opt_state=_graft_tree(
+                state.generator.opt_state, restored["generator"]["opt_state"]
             ),
         )
         d = state.discriminator
@@ -157,9 +223,8 @@ class CheckpointManager:
                 )
             d = d.replace(
                 params=restored["discriminator"]["params"],
-                opt_state=jax.tree.unflatten(
-                    jax.tree.structure(d.opt_state),
-                    jax.tree.leaves(restored["discriminator"]["opt_state"]),
+                opt_state=_graft_tree(
+                    d.opt_state, restored["discriminator"]["opt_state"]
                 ),
             )
         new_state = state.replace(

@@ -94,6 +94,18 @@ class Trainer:
                 )
             )
 
+        if (
+            cfg.data.train_dataset == "cityscapes"
+            and cfg.augment.pipeline != "no_new_aug"
+        ):
+            import warnings
+
+            warnings.warn(
+                f"augmentation pipeline {cfg.augment.pipeline!r} is inert for "
+                "a Cityscapes train source (the reference applies stochastic "
+                "augs to GTA5 only, config.py:204-241); set no_new_aug to "
+                "silence this"
+            )
         self.steps_per_epoch = t.steps_per_epoch or len(self.train_loader)
         if self.steps_per_epoch <= 0:
             raise ValueError("empty training dataset")
@@ -242,6 +254,11 @@ def run_experiment(
         if verbose and jax.process_index() == 0:
             print(msg, flush=True)
 
+    # One effective run name drives the logger AND checkpoint isolation.
+    if run_name and not cfg.obs.run_name:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(obs=_dc.replace(cfg.obs, run_name=run_name))
     trainer = Trainer(cfg)
     logger = make_logger(cfg, run_name)
     t = cfg.train

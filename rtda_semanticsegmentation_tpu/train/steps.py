@@ -103,12 +103,14 @@ def _seg_loss(
 def _prep_source(batch, key, cfg: ExperimentConfig):
     """On-device augmentation + normalization of the uint8 source batch.
 
-    The stochastic pipeline applies only to the GTA5 source stream; a
-    Cityscapes train source gets resize+normalize only (reference
-    ``config.py:204-241``). Resize happens host-side at decode.
+    The stochastic pipeline applies to GTA5 (and the synthetic stand-in); a
+    Cityscapes train source gets resize+normalize only, matching the
+    reference's per-dataset transform pipelines (``config.py:204-241``).
+    Resize happens host-side at decode.
     """
     images_u8, labels = batch["image"], batch["label"]
-    if cfg.data.train_dataset == "gta5" and cfg.augment.pipeline != "no_new_aug":
+    augmentable = cfg.data.train_dataset != "cityscapes"
+    if augmentable and cfg.augment.pipeline != "no_new_aug":
         return augment_batch(images_u8, labels, key, cfg.augment)
     return normalize_u8(images_u8, cfg.augment), labels
 

@@ -133,3 +133,25 @@ def test_full_pipeline_runs_under_jit_and_labels_unchanged():
     # different key -> different augmentation
     out2, _ = fn(jnp.array(imgs), jnp.array(labels), jax.random.PRNGKey(10))
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_coarse_dropout_clamps_oversized_holes():
+    """Holes larger than the image are clamped (albumentations rejects
+    them); origins stay non-negative so a hole can't blank everything."""
+    import dataclasses
+
+    from rtda_semanticsegmentation_tpu.config import AugmentConfig
+    from rtda_semanticsegmentation_tpu.ops.augment import coarse_dropout
+
+    cfg = dataclasses.replace(
+        AugmentConfig(), cd_hole_size=(20, 60), cd_min_holes=1, cd_max_holes=1
+    )
+    img = jnp.ones((32, 32, 3), jnp.float32)
+    # many keys: dropped area must never exceed the max hole area (32x32
+    # clamped hole can cover at most the whole image only if hh=ww=32,
+    # which requires the draw >= 32; area must be <= hh*ww always)
+    for seed in range(8):
+        out = coarse_dropout(img, jax.random.PRNGKey(seed), cfg)
+        dropped = float((out[..., 0] == 0).sum())
+        assert dropped <= 32 * 32
+        assert jnp.isfinite(out).all()

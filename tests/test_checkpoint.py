@@ -145,3 +145,55 @@ def test_restore_none_when_no_checkpoint(tmp_path):
     mgr = CheckpointManager(cfg)
     assert mgr.restore_into(make_state(cfg), "latest") is None
     mgr.close()
+
+
+def test_optimizer_moments_restored_exactly(tmp_path):
+    """Regression: cross-format restores must graft optax state by field
+    name, not flattened dict-key order (which is alphabetical and silently
+    misassigns moments)."""
+    adv_cfg = small_cfg(tmp_path, adversarial=True)
+    mgr = CheckpointManager(adv_cfg)
+    state = make_state(adv_cfg, with_disc=True)
+    # distinctive optimizer moments
+    state = state.replace(
+        generator=state.generator.replace(
+            opt_state=jax.tree.map(
+                lambda x: x + 3.25 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                state.generator.opt_state,
+            )
+        )
+    )
+    mgr.save_periodic(state, epoch=0)
+    mgr.wait()
+    mgr.close()
+
+    # vanilla restore of an adversarial checkpoint -> raw graft path
+    mgr2 = CheckpointManager(small_cfg(tmp_path, adversarial=True))
+    restored, _ = mgr2.restore_into(make_state(adv_cfg), "latest")
+    eq = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state.generator.opt_state,
+        restored.generator.opt_state,
+    )
+    assert all(jax.tree.leaves(eq))
+    mgr2.close()
+
+
+def test_same_mode_resume_uses_template_path(tmp_path, capsys):
+    cfg = small_cfg(tmp_path)
+    mgr = CheckpointManager(cfg)
+    mgr.save_periodic(make_state(cfg), epoch=0)
+    mgr.wait()
+    out = mgr.restore_into(make_state(cfg), "latest")
+    assert out is not None
+    captured = capsys.readouterr()
+    assert "template restore failed" not in captured.out
+    mgr.close()
+
+
+def test_restore_rejects_unknown_stream(tmp_path):
+    cfg = small_cfg(tmp_path)
+    mgr = CheckpointManager(cfg)
+    with pytest.raises(ValueError):
+        mgr.restore_into(make_state(cfg), "/some/path")
+    mgr.close()

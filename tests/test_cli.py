@@ -71,6 +71,7 @@ def test_train_cli_end_to_end(tmp_path):
             "--mesh_data", "4", "--compute_dtype", "float32",
             "--checkpoint_dir", str(tmp_path / "ckpt"),
             "--log_backend", "jsonl", "--run_name", "cli_smoke",
+            "--log_dir", str(tmp_path / "logs"),
             "--no_perf", "--eval_batch_size", "4",
         ]
     )

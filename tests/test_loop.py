@@ -62,7 +62,8 @@ def test_run_experiment_end_to_end(tmp_path):
     assert 0.0 <= report["best_miou"] <= 1.0
     assert report["per_class_iou"] is not None
     # best checkpoint exists
-    assert glob.glob(str(tmp_path / "ckpt" / "bisenet" / "best_miou" / "*"))
+    # run_name isolates the checkpoint dir
+    assert glob.glob(str(tmp_path / "ckpt" / "e2e" / "best_miou" / "*"))
     # jsonl log written with run_config + metrics + summary events
     log = tmp_path / "logs" / "e2e.jsonl"
     events = [json.loads(line)["event"] for line in open(log)]
