@@ -97,6 +97,10 @@ class ModelConfig:
     context_path: str = "resnet18"  # resnet18 | resnet101 (BiSeNet only)
     num_classes: int = 19
     compute_dtype: str = "bfloat16"  # bf16 on the MXU; f32 params
+    # Evaluate the RGB-consuming stem convs in multi-phase coarse-stride form —
+    # an exact kernel rearrangement (models/layers.py::conv_phase) that fixes
+    # their <15% MXU utilization; parameter trees are unchanged.
+    fast_input: bool = True
     pretrained_backbone: Optional[str] = None  # path to converted .npz weights
     disc_ndf: int = 64  # FCDiscriminator base width (reference discriminator.py:12)
 

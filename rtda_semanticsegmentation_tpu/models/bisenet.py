@@ -44,11 +44,18 @@ from .resnet import ContextPath
 
 class SpatialPath(nn.Module):
     dtype: Dtype = jnp.bfloat16
+    phase: int = 0  # multi-phase conv for the MXU-starved RGB conv (0 = off)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # conv1 consumes 3-channel RGB — phase-conv it; conv2/conv3 at
+        # >=64 channels measured no better in phase form
+        # (scripts/bench_stem_phase_conv.py).
         for i, ch in enumerate((64, 128, 256)):
-            x = ConvBN(ch, dtype=self.dtype, name=f"convblock{i + 1}")(x, train)
+            x = ConvBN(
+                ch, dtype=self.dtype, name=f"convblock{i + 1}",
+                phase_factor=self.phase if i == 0 else 0,
+            )(x, train)
         return x
 
 
@@ -114,15 +121,23 @@ class BiSeNet(nn.Module):
     num_classes: int = 19
     context_path: str = "resnet18"  # resnet18 | resnet101
     dtype: Dtype = jnp.bfloat16
+    # Compute the RGB-consuming stem convs in multi-phase coarse-stride form
+    # (exact rearrangement, see layers.conv_phase): 3-channel contractions
+    # starve the 128-lane MXU, measured <15% utilization on v5e.
+    fast_input: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h, w = x.shape[1], x.shape[2]
-        sx = SpatialPath(dtype=self.dtype, name="spatial_path")(x, train)
+        phase = 4 if self.fast_input else 0
+        sx = SpatialPath(dtype=self.dtype, name="spatial_path", phase=phase)(
+            x, train
+        )
 
         depth = {"resnet18": 18, "resnet101": 101}[self.context_path]
         cx1, cx2, tail = ContextPath(
-            depth=depth, dtype=self.dtype, name="context_path"
+            depth=depth, dtype=self.dtype, name="context_path",
+            stem_phase=phase,
         )(x, train)
 
         cx1 = AttentionRefinementModule(
@@ -156,11 +171,17 @@ class BiSeNet(nn.Module):
             self.num_classes, dtype=self.dtype, name="ffm"
         )(sx, cx, train)
 
-        result = resize_bilinear(result, (h, w))
+        # Reference order is upsample x8 then 1x1 conv (build_bisenet.py:
+        # 164-165). A 1x1 conv and a bilinear resize are both linear maps on
+        # disjoint axes (channels / space), so they commute exactly (the bias
+        # passes through because interpolation weights sum to 1). Applying
+        # the conv at 1/8 resolution does 64x less conv work and avoids a
+        # second full-resolution 19-channel round trip through HBM.
         result = nn.Conv(
             self.num_classes, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=kaiming_normal_fan_in, name="final_conv",
         )(result)
+        result = resize_bilinear(result, (h, w))
 
         if train:
             return result, sup1, sup2

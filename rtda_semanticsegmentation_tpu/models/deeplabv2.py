@@ -49,6 +49,7 @@ class DeepLabV2(nn.Module):
 
     num_classes: int = 19
     dtype: Dtype = jnp.bfloat16
+    fast_input: bool = True  # phase-conv RGB stem (exact; see layers.conv_phase)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -56,6 +57,7 @@ class DeepLabV2(nn.Module):
         _, c4 = ResNetFeatures(
             depth=101, output_stride=8, deeplab_style=True,
             dtype=self.dtype, name="resnet",
+            stem_phase=4 if self.fast_input else 0,
         )(x, train)
         logits = ASPP(self.num_classes, dtype=self.dtype, name="aspp")(c4)
         logits = resize_bilinear(logits, (h, w))

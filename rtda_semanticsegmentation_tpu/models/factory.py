@@ -26,9 +26,12 @@ def build_model(cfg: ModelConfig):
             num_classes=cfg.num_classes,
             context_path=cfg.context_path,
             dtype=dtype,
+            fast_input=cfg.fast_input,
         )
     if cfg.name == "deeplabv2":
-        return DeepLabV2(num_classes=cfg.num_classes, dtype=dtype)
+        return DeepLabV2(
+            num_classes=cfg.num_classes, dtype=dtype, fast_input=cfg.fast_input
+        )
     raise ValueError(f"unknown model {cfg.name!r}; options: bisenet, deeplabv2")
 
 

@@ -85,11 +85,144 @@ class FoldableBatchNorm(nn.Module):
         return x * mul + add
 
 
+def conv_phase(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    stride: int,
+    pad: int,
+    phase: int = 4,
+    compute_dtype: Optional[Dtype] = None,
+) -> jnp.ndarray:
+    """2-D conv computed as one coarse-stride multi-phase conv — exact
+    equivalent of ``lax.conv_general_dilated(x, w, (stride, stride),
+    ((pad, pad), (pad, pad)))`` in NHWC.
+
+    Why: convs whose channel counts are far below the MXU's 128 lanes (the
+    RGB stem: ci=3, co=64) run at <15% MXU utilization under XLA's conv
+    emitter (measured 10-29 TFLOP/s on v5e vs 111-124 at >=128 channels,
+    ``scripts/bench_conv_marginal.py``). This computes ``phase`` x ``phase``
+    consecutive outputs per conv window position: the original (kh, kw, ci,
+    co) kernel is zero-scattered into a ((phase-1)*stride + kh, ..., ci,
+    phase^2*co) kernel applied at stride ``phase*stride``, then the phase
+    groups are interleaved back with a depth-to-space (which XLA fuses into
+    the conv epilogue — measured free). The contraction gets kp^2*ci deep
+    and the output phase^2*co wide — both MXU-friendly — at the price of
+    the zero-tap FLOPs. Every original multiply-add is present; extra taps
+    multiply zero weights, so the result is exact up to f32 accumulation
+    order.
+
+    Note: an explicit space-to-depth *input* packing was tried first and is
+    ~3x SLOWER than the native conv on v5e — the 6-D pack/unpack transposes
+    on few-channel data are catastrophic relayouts. This formulation never
+    touches the input layout.
+    """
+    kh, kw, ci, co = w.shape
+    b_, h, w_, c = x.shape
+    assert c == ci
+    kp_h = (phase - 1) * stride + kh
+    kp_w = (phase - 1) * stride + kw
+    sp = phase * stride
+    hout = (h + 2 * pad - kh) // stride + 1
+    wout = (w_ + 2 * pad - kw) // stride + 1
+    # The coarse conv must tile the output exactly into phase groups.
+    assert hout % phase == 0 and wout % phase == 0, (hout, wout, phase)
+    assert (h + 2 * pad - kp_h) // sp + 1 == hout // phase
+    assert (w_ + 2 * pad - kp_w) // sp + 1 == wout // phase
+    wp = jnp.zeros((kp_h, kp_w, ci, phase * phase * co), w.dtype)
+    for a in range(phase):
+        for b in range(phase):
+            o = (a * phase + b) * co
+            wp = wp.at[
+                a * stride : a * stride + kh,
+                b * stride : b * stride + kw,
+                :,
+                o : o + co,
+            ].set(w)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        wp = wp.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        wp,
+        (sp, sp),
+        ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    ho, wo = hout // phase, wout // phase
+    return (
+        y.reshape(b_, ho, wo, phase, phase, co)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b_, hout, wout, co)
+    )
+
+
+class _PhaseConv(nn.Module):
+    """Bias-free conv evaluated in multi-phase coarse-stride form.
+
+    Parameter tree is identical to ``nn.Conv(name=...)`` (a single
+    ``kernel`` of shape (kh, kw, ci, co)), so checkpoints, the torch weight
+    converter, and param-tree tests are unaffected by the compute-path swap.
+    Falls back to the plain conv when the static shape doesn't satisfy the
+    phase-tiling divisibility constraints (decided at trace time).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    phase: int = 4
+    dtype: Dtype = jnp.bfloat16
+    kernel_init: Callable = kaiming_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        s = self.strides[0]
+        pad = self.padding[0][0]
+        f = self.phase
+        symmetric = (
+            self.strides[0] == self.strides[1]
+            and all(p == pad for pair in self.padding for p in pair)
+        )
+        if symmetric:
+            hout = (x.shape[1] + 2 * pad - kh) // s + 1
+            wout = (x.shape[2] + 2 * pad - kw) // s + 1
+            tiles = (
+                hout % f == 0
+                and wout % f == 0
+                and (x.shape[1] + 2 * pad - ((f - 1) * s + kh)) // (f * s) + 1
+                == hout // f
+                and (x.shape[2] + 2 * pad - ((f - 1) * s + kw)) // (f * s) + 1
+                == wout // f
+            )
+            if tiles:
+                return conv_phase(
+                    x, kernel, s, pad, f, compute_dtype=self.dtype
+                )
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            self.strides,
+            self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ConvBN(nn.Module):
     """Conv (no bias) -> BatchNorm -> optional ReLU.
 
     Parity: reference ``ConvBlock`` (``build_bisenet.py:9-19``) with
     BN eps 1e-5, momentum 0.1 (torch) == 0.9 (flax convention).
+
+    ``phase_factor > 1`` computes the conv in multi-phase coarse-stride form
+    (exact rearrangement — see :func:`conv_phase`); used for the RGB-input
+    stems whose 3-channel contraction starves the MXU.
     """
 
     features: int
@@ -100,21 +233,34 @@ class ConvBN(nn.Module):
     use_relu: bool = True
     dtype: Dtype = jnp.bfloat16
     kernel_init: Callable = kaiming_normal_fan_in
+    phase_factor: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding=self.padding,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=self.kernel_init,
-            name="conv",
-        )(x)
+        if self.phase_factor > 1 and self.dilation == 1:
+            x = _PhaseConv(
+                self.features,
+                self.kernel_size,
+                self.strides,
+                self.padding,
+                phase=self.phase_factor,
+                dtype=self.dtype,
+                kernel_init=self.kernel_init,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                padding=self.padding,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=self.kernel_init,
+                name="conv",
+            )(x)
         x = FoldableBatchNorm(momentum=0.9, epsilon=1e-5, name="bn")(
             x, use_running_average=not train
         )
@@ -142,6 +288,10 @@ def max_pool_torch(
         eff = n + 2 * padding - window
         return -(-eff // strides) + 1 if ceil_mode else eff // strides + 1
 
+    # NOTE: a pair-packed slicing formulation of the 3x3/2 pool was tried
+    # and measured SLOWER than reduce_window on v5e (0.98 vs 0.77 ms at
+    # (4,256,512,64)) — the reshape-slices are strided relayouts. Keep the
+    # native reduce_window.
     def extra(n: int) -> int:
         return (out_size(n) - 1) * strides + window - (n + 2 * padding)
 

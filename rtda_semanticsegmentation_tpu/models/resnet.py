@@ -117,6 +117,7 @@ class ResNetFeatures(nn.Module):
     output_stride: int = 32
     deeplab_style: bool = False
     dtype: Dtype = jnp.bfloat16
+    stem_phase: int = 0  # multi-phase factor for the RGB stem conv (0/1 = off)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -130,6 +131,7 @@ class ResNetFeatures(nn.Module):
         x = ConvBN(
             64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
             dtype=self.dtype, kernel_init=he_normal_fan_out, name="stem",
+            phase_factor=self.stem_phase,
         )(x, train)
         x = max_pool_torch(x, 3, 2, 1, ceil_mode=self.deeplab_style)
 
@@ -172,11 +174,13 @@ class ContextPath(nn.Module):
 
     depth: int = 18
     dtype: Dtype = jnp.bfloat16
+    stem_phase: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c3, c4 = ResNetFeatures(
-            depth=self.depth, output_stride=32, dtype=self.dtype, name="resnet"
+            depth=self.depth, output_stride=32, dtype=self.dtype, name="resnet",
+            stem_phase=self.stem_phase,
         )(x, train)
         tail = global_avg_pool(c4, keepdims=True)
         return c3, c4, tail

@@ -100,3 +100,69 @@ def test_max_pool_torch_ceil_mode():
     got = max_pool_torch(x, 3, 2, 1, ceil_mode=True)[0, :, 0, 0]
     want = [min(2 * i + 1, 255) for i in range(129)]
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_conv_phase_matches_lax_conv():
+    """Multi-phase coarse-stride conv == plain conv (exact rearrangement)."""
+    from rtda_semanticsegmentation_tpu.models.layers import conv_phase
+
+    rng = np.random.RandomState(0)
+    cases = [
+        # (H, W, ci, co, k, stride, pad, phase) — stem 7x7/2/3 and spatial
+        # 3x3/2/1 at phase 4, plus stride-1/downsample shape classes.
+        (64, 96, 3, 16, 7, 2, 3, 4),
+        (64, 96, 3, 16, 3, 2, 1, 4),
+        (32, 48, 8, 8, 3, 1, 1, 2),
+        (32, 48, 4, 8, 1, 1, 0, 2),
+        (32, 48, 8, 16, 3, 2, 1, 2),
+        (32, 48, 8, 16, 1, 2, 0, 2),
+    ]
+    for h, w, ci, co, k, s, p, f in cases:
+        x = jnp.asarray(rng.randn(2, h, w, ci), jnp.float32)
+        wts = jnp.asarray(rng.randn(k, k, ci, co) * 0.2, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, wts, (s, s), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = conv_phase(x, wts, s, p, f)
+        assert got.shape == ref.shape, (got.shape, ref.shape, (k, s, p, f))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5,
+            err_msg=f"case {(h, w, ci, co, k, s, p, f)}",
+        )
+
+
+def test_bisenet_fast_input_equivalence():
+    """fast_input=True (phase-conv stems) matches the plain compute path;
+    the parameter tree is identical so one init serves both."""
+    x = jnp.asarray(
+        np.random.RandomState(1).rand(1, 64, 128, 3), jnp.float32
+    )
+    fast = BiSeNet(num_classes=19, dtype=jnp.float32, fast_input=True)
+    slow = BiSeNet(num_classes=19, dtype=jnp.float32, fast_input=False)
+    variables = fast.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(
+        variables
+    ) == jax.tree_util.tree_structure(slow.init(jax.random.PRNGKey(0), x, False))
+    out_fast = fast.apply(variables, x, False)
+    out_slow = slow.apply(variables, x, False)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_slow), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_final_conv_commutes_with_upsample():
+    """1x1 conv and bilinear resize commute exactly (both linear, disjoint
+    axes; bias passes through because interpolation weights sum to 1) —
+    justifies computing the head conv at 1/8 resolution
+    (reference order: upsample then conv, build_bisenet.py:164-165)."""
+    from rtda_semanticsegmentation_tpu.models.layers import resize_bilinear
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 16, 19), jnp.float32)
+    kern = jnp.asarray(rng.randn(19, 19) * 0.3, jnp.float32)
+    bias = jnp.asarray(rng.randn(19) * 0.1, jnp.float32)
+    conv = lambda t: jnp.einsum("bhwc,cd->bhwd", t, kern) + bias
+    a = conv(resize_bilinear(x, (64, 128)))
+    b = resize_bilinear(conv(x), (64, 128))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
