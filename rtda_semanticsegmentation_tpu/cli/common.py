@@ -44,6 +44,9 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
                             "isonoise_only", "coarsedropout_only",
                             "all_four_combined", "all_four_plus_hflip"))
     p.add_argument("--use_lovasz", action="store_true", default=None)
+    p.add_argument("--aux_weight", type=float, default=None,
+                   help="BiSeNet aux-head CE weight (0 = reference parity; "
+                        "the BiSeNet paper uses 1.0).")
     p.add_argument("--pretrained_backbone", type=str,
                    help="Path to converted .npz backbone weights.")
     p.add_argument("--checkpoint_dir", type=str)
@@ -104,7 +107,7 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
         checkpoint_dir=args.checkpoint_dir,
         steps_per_epoch=args.steps_per_epoch)
     rep("augment", pipeline=args.augmentation)
-    rep("loss", use_lovasz=args.use_lovasz)
+    rep("loss", use_lovasz=args.use_lovasz, aux_weight=args.aux_weight)
     rep("obs", backend=args.log_backend, run_name=args.run_name,
         log_dir=args.log_dir)
     rep("mesh", data=args.mesh_data, model=args.mesh_model)

@@ -98,9 +98,11 @@ class ModelConfig:
     num_classes: int = 19
     compute_dtype: str = "bfloat16"  # bf16 on the MXU; f32 params
     # Evaluate the RGB-consuming stem convs in multi-phase coarse-stride form —
-    # an exact kernel rearrangement (models/layers.py::conv_phase) that fixes
-    # their <15% MXU utilization; parameter trees are unchanged.
-    fast_input: bool = True
+    # an exact kernel rearrangement (models/layers.py::conv_phase); parameter
+    # trees are unchanged. Off by default: the full-model A/B
+    # (scripts/bench_fast_input_ab.py) measured the native stems FASTER once
+    # the head-conv reorder landed (970 vs 670 img/s at b16 on v5e).
+    fast_input: bool = False
     pretrained_backbone: Optional[str] = None  # path to converted .npz weights
     disc_ndf: int = 64  # FCDiscriminator base width (reference discriminator.py:12)
 
@@ -146,6 +148,11 @@ class LossConfig:
     # 'sort' = exact descending-sort parity with the reference.
     lovasz_impl: str = "binned"
     lovasz_bins: int = 1024
+    # Weight for BiSeNet's two aux-head CE losses (the BiSeNet paper uses
+    # 1.0). Default 0.0 = reference parity: the reference computes the aux
+    # heads but never feeds them to a loss (train.py:113-120), and XLA
+    # dead-code-eliminates them at weight 0.
+    aux_weight: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -122,9 +122,10 @@ class BiSeNet(nn.Module):
     context_path: str = "resnet18"  # resnet18 | resnet101
     dtype: Dtype = jnp.bfloat16
     # Compute the RGB-consuming stem convs in multi-phase coarse-stride form
-    # (exact rearrangement, see layers.conv_phase): 3-channel contractions
-    # starve the 128-lane MXU, measured <15% utilization on v5e.
-    fast_input: bool = True
+    # (exact rearrangement, see layers.conv_phase). Off by default: measured
+    # slower than the native stems in the full model on v5e
+    # (scripts/bench_fast_input_ab.py).
+    fast_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -49,7 +49,7 @@ class DeepLabV2(nn.Module):
 
     num_classes: int = 19
     dtype: Dtype = jnp.bfloat16
-    fast_input: bool = True  # phase-conv RGB stem (exact; see layers.conv_phase)
+    fast_input: bool = False  # phase-conv RGB stem (exact; see layers.conv_phase)
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -53,11 +53,13 @@ FAKE_LABEL = 0.0  # target domain
 
 
 def _apply_train(mstate: ModelState, params, batch_stats, x, remat: bool = False):
-    """Train-mode forward; returns (primary logits, new batch_stats).
+    """Train-mode forward; returns ((logits, aux1, aux2), new batch_stats).
 
     Models return (logits, aux1, aux2) in train mode; like every reference
-    train loop we use outputs[0] only (``train.py:113-120``) — the unused aux
-    heads are dead code XLA eliminates, so parity costs nothing.
+    train loop the default loss uses outputs[0] only (``train.py:113-120``)
+    — at ``loss.aux_weight == 0`` the aux heads are dead code XLA
+    eliminates, so parity costs nothing. ``aux_weight > 0`` opts into the
+    BiSeNet paper's auxiliary supervision (see ``_seg_loss``).
 
     ``remat`` wraps the forward in ``jax.checkpoint`` so the backward
     recomputes activations instead of keeping them resident — the standard
@@ -75,8 +77,9 @@ def _apply_train(mstate: ModelState, params, batch_stats, x, remat: bool = False
         else:
             outs = mstate.apply_fn(variables, x, True)
             new_bs = batch_stats
-        logits = outs[0] if isinstance(outs, tuple) else outs
-        return logits, new_bs
+        if not isinstance(outs, tuple):
+            outs = (outs, None, None)
+        return outs, new_bs
 
     if remat:
         fwd = jax.checkpoint(fwd)
@@ -84,9 +87,24 @@ def _apply_train(mstate: ModelState, params, batch_stats, x, remat: bool = False
 
 
 def _seg_loss(
-    logits: jnp.ndarray, labels: jnp.ndarray, cfg: ExperimentConfig
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: ExperimentConfig,
+    aux: Tuple = (),
 ) -> Tuple[jnp.ndarray, Metrics]:
     ce = cross_entropy_with_ignore(logits, labels, cfg.loss.ignore_index)
+    total, parts = ce, {"loss_ce": ce}
+    if cfg.loss.aux_weight and any(a is not None for a in aux):
+        # BiSeNet-paper auxiliary supervision on the two context-path heads
+        # (opt-in; the reference computes but never uses them,
+        # train.py:113-120).
+        aux_ce = sum(
+            cross_entropy_with_ignore(a, labels, cfg.loss.ignore_index)
+            for a in aux
+            if a is not None
+        )
+        total = total + cfg.loss.aux_weight * aux_ce
+        parts["loss_aux"] = aux_ce
     if cfg.loss.use_lovasz:
         probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         if cfg.loss.lovasz_impl == "binned":
@@ -95,9 +113,9 @@ def _seg_loss(
             )
         else:
             lov = lovasz_softmax(probas, labels, cfg.loss.ignore_index)
-        total = ce + cfg.loss.lovasz_weight * lov
-        return total, {"loss_ce": ce, "loss_lovasz": lov}
-    return ce, {"loss_ce": ce}
+        total = total + cfg.loss.lovasz_weight * lov
+        parts["loss_lovasz"] = lov
+    return total, parts
 
 
 def _prep_source(batch, key, cfg: ExperimentConfig):
@@ -137,10 +155,10 @@ def make_train_step(
         images = images.astype(compute_dtype)
 
         def loss_fn(params):
-            logits, new_bs = _apply_train(
+            (logits, sup1, sup2), new_bs = _apply_train(
                 g, params, g.batch_stats, images, cfg.train.remat
             )
-            loss, parts = _seg_loss(logits, labels, cfg)
+            loss, parts = _seg_loss(logits, labels, cfg, aux=(sup1, sup2))
             return loss, (new_bs, parts)
 
         (loss, (new_bs, parts)), grads = jax.value_and_grad(
@@ -172,16 +190,20 @@ def make_train_step(
 
         def g_forward(params):
             """Source then target forward — BN stats updated sequentially,
-            matching the reference's two successive train-mode calls."""
-            pred_s, bs1 = _apply_train(
+            matching the reference's two successive train-mode calls.
+            Returns source outputs WITH aux heads (for optional aux
+            supervision); target keeps the primary head only."""
+            outs_s, bs1 = _apply_train(
                 g, params, g.batch_stats, images_s, cfg.train.remat
             )
-            pred_t, bs2 = _apply_train(g, params, bs1, images_t, cfg.train.remat)
-            return pred_s, pred_t, bs2
+            (pred_t, _, _), bs2 = _apply_train(
+                g, params, bs1, images_t, cfg.train.remat
+            )
+            return outs_s, pred_t, bs2
 
         # --- Discriminator step (reference train.py:250-278) ---
         # Uses pre-update-G predictions, detached.
-        pred_s0, pred_t0, _ = g_forward(g.params)
+        (pred_s0, _, _), pred_t0, _ = g_forward(g.params)
         sm_s = jax.lax.stop_gradient(
             jax.nn.softmax(pred_s0.astype(jnp.float32), axis=-1)
         ).astype(compute_dtype)
@@ -203,8 +225,8 @@ def make_train_step(
         # Recomputes the same forward (XLA CSEs it with the one above) so the
         # gradient flows; adv term goes through the *updated* D.
         def g_loss_fn(g_params):
-            pred_s, pred_t, new_bs = g_forward(g_params)
-            loss_seg, parts = _seg_loss(pred_s, labels_s, cfg)
+            (pred_s, sup1, sup2), pred_t, new_bs = g_forward(g_params)
+            loss_seg, parts = _seg_loss(pred_s, labels_s, cfg, aux=(sup1, sup2))
             sm_t_live = jax.nn.softmax(
                 pred_t.astype(jnp.float32), axis=-1
             ).astype(compute_dtype)

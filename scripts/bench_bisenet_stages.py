@@ -180,19 +180,19 @@ def main():
     )
 
     # --- new vs old compute paths (s2d stems, fast maxpool) ---
-    sp_slow = SpatialPath(dtype=jnp.bfloat16, s2d=0)
-    results["spatial_path s2d=0"] = time_fn(
+    sp_slow = SpatialPath(dtype=jnp.bfloat16, phase=0)
+    results["spatial_path phase=0"] = time_fn(
         lambda x: sp_slow.apply(spv, x, False), ring_of((B, H, W, 3))
     )
-    sp_fast = SpatialPath(dtype=jnp.bfloat16, s2d=4)
-    results["spatial_path s2d=4"] = time_fn(
+    sp_fast = SpatialPath(dtype=jnp.bfloat16, phase=4)
+    results["spatial_path phase=4"] = time_fn(
         lambda x: sp_fast.apply(spv, x, False), ring_of((B, H, W, 3))
     )
     stem_fast = ConvBN(
         64, (7, 7), (2, 2), padding=((3, 3), (3, 3)), dtype=jnp.bfloat16,
-        s2d_factor=4,
+        phase_factor=4,
     )
-    results["stem s2d=4"] = time_fn(
+    results["stem phase=4"] = time_fn(
         lambda x: stem_fast.apply(stemv, x, False), ring_of((B, H, W, 3))
     )
     results["maxpool only (new)"] = time_fn(

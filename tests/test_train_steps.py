@@ -132,6 +132,30 @@ def test_lovasz_mode_adds_component():
     )
 
 
+def test_aux_weight_adds_component_and_changes_loss():
+    """aux_weight opts into BiSeNet-paper aux supervision: loss_aux metric
+    appears and total = ce + w * aux; weight 0 keeps reference parity
+    (no loss_aux key, identical total)."""
+    base = tiny_config(augment__pipeline="no_new_aug")
+    g_sched = poly_lr_schedule(base.optimizer.learning_rate, MAX_ITER)
+    state = build_state(base)
+    batch, rng = make_batch(), jax.random.PRNGKey(0)
+
+    step0 = jax.jit(make_train_step(base, g_sched))
+    _, m0 = step0(fresh(state), batch, rng)
+    assert "loss_aux" not in m0
+
+    cfg = tiny_config(augment__pipeline="no_new_aug", loss__aux_weight=1.0)
+    step1 = jax.jit(make_train_step(cfg, g_sched))
+    _, m1 = step1(fresh(state), batch, rng)
+    assert "loss_aux" in m1
+    assert float(m1["loss"]) == pytest.approx(
+        float(m1["loss_ce"]) + 1.0 * float(m1["loss_aux"]), rel=1e-5
+    )
+    # same params, same batch: the primary CE must agree across modes
+    assert float(m1["loss_ce"]) == pytest.approx(float(m0["loss_ce"]), rel=1e-5)
+
+
 def test_augmented_pipeline_step_runs():
     cfg = tiny_config(augment__pipeline="all_four_combined")
     g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
