@@ -212,6 +212,11 @@ def make_train_step(
         ).astype(compute_dtype)
 
         def d_loss_fn(d_params):
+            # Two separate D calls; a single batched call over
+            # [source; target] (exact — D is per-sample, no BN) was tried
+            # and measured ~5% SLOWER at b8: the 2x-batch concat of the
+            # full-res softmax maps costs more HBM traffic than the saved
+            # per-conv launches (scripts/bench_disc_phase.py context).
             out_s = d.apply_fn({"params": d_params}, sm_s)
             out_t = d.apply_fn({"params": d_params}, sm_t)
             loss_real = bce_with_logits(out_s, REAL_LABEL)
