@@ -23,9 +23,11 @@ MODES = (
     "bisenet_adversarial",  # UDA, CE
     "bisenet_adversarial_lovasz",  # flagship: UDA + CE + Lovasz
 )
+# Extra rows: --all adds the no-aug source mode (isolates the augmentation
+# cost) and DeepLabV2 at its batch 2.
 
 
-def bench_mode(preset: str) -> float:
+def bench_mode(preset: str, batch: int = BATCH, no_aug: bool = False) -> float:
     from rtda_semanticsegmentation_tpu.config import get_preset
     from rtda_semanticsegmentation_tpu.models.factory import (
         build_discriminator,
@@ -43,8 +45,12 @@ def bench_mode(preset: str) -> float:
     cfg = get_preset(preset)
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, gta5_size=(H, W), cityscapes_size=(H, W)),
-        train=dataclasses.replace(cfg.train, batch_size=BATCH),
+        train=dataclasses.replace(cfg.train, batch_size=batch),
     )
+    if no_aug:
+        cfg = cfg.replace(
+            augment=dataclasses.replace(cfg.augment, pipeline="no_new_aug")
+        )
     model = build_model(cfg.model)
     g = ModelState.create(
         model.apply,
@@ -70,12 +76,12 @@ def bench_mode(preset: str) -> float:
     )
     rng = np.random.RandomState(0)
     b = {
-        "image": jnp.asarray(rng.randint(0, 256, (BATCH, H, W, 3), np.uint8)),
-        "label": jnp.asarray(rng.randint(0, 19, (BATCH, H, W), np.int32)),
+        "image": jnp.asarray(rng.randint(0, 256, (batch, H, W, 3), np.uint8)),
+        "label": jnp.asarray(rng.randint(0, 19, (batch, H, W), np.int32)),
     }
     if cfg.adversarial.enabled:
         b["target_image"] = jnp.asarray(
-            rng.randint(0, 256, (BATCH, H, W, 3), np.uint8)
+            rng.randint(0, 256, (batch, H, W, 3), np.uint8)
         )
     key = jax.random.PRNGKey(0)
     for _ in range(3):
@@ -92,11 +98,16 @@ def bench_mode(preset: str) -> float:
 def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
-    for preset in MODES:
-        sec = bench_mode(preset)
-        print(
-            f"{preset}: {sec * 1e3:.1f} ms/step ({BATCH / sec:.1f} img/s)"
-        )
+    rows = [(m, BATCH, False) for m in MODES]
+    if "--all" in sys.argv:
+        rows += [
+            ("bisenet_source_aug", BATCH, True),  # no-aug: isolates aug cost
+            ("deeplabv2_cityscapes", 2, True),
+        ]
+    for preset, batch, no_aug in rows:
+        sec = bench_mode(preset, batch, no_aug)
+        tag = f"{preset}{' (no aug)' if no_aug else ''} b{batch}"
+        print(f"{tag}: {sec * 1e3:.1f} ms/step ({batch / sec:.1f} img/s)")
 
 
 if __name__ == "__main__":
