@@ -46,7 +46,7 @@ def _hist_kernel(
     valid = labels != ignore_index
     t = labels.shape[0]
     rows1 = jax.lax.broadcasted_iota(jnp.int32, (k1, t), 0)
-    cols2 = jax.lax.broadcasted_iota(jnp.int32, (t, k2), 1)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (k2, t), 0)
 
     def per_class(c, _):
         p_c = probas_ref[c, :]  # (T,)
@@ -59,7 +59,12 @@ def _hist_kernel(
         c1 = jnp.where(valid, b // k2, -1)
         c2 = b % k2
         oh1 = (c1[None, :] == rows1).astype(jnp.bfloat16)  # (k1, T)
-        oh2 = (c2[:, None] == cols2).astype(jnp.bfloat16)  # (T, k2)
+        # oh2 is built (k2, T) — T on the 128-lane minor axis — and the dot
+        # contracts BOTH operands' dim 1. A (T, k2=32) layout puts 32 on the
+        # lanes, wasting 3/4 of every vreg/tile: measured 3.5x slower for
+        # the whole kernel (scripts/bench_lovasz_kernel_variants.py,
+        # 48 -> 14 ms at b8 512x1024x19).
+        oh2 = (c2[None, :] == rows2).astype(jnp.bfloat16)  # (k2, T)
         lhs = jnp.concatenate(
             [
                 oh1,
@@ -71,7 +76,7 @@ def _hist_kernel(
         part = jax.lax.dot_general(
             lhs,
             oh2,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (3*k1, k2)
         row = c * (3 * k1)
