@@ -318,6 +318,20 @@ def _binned_bwd(ignore_index, classes, bins, res, g):
         valid = jnp.ones_like(labels2, dtype=bool)
     validf = valid.astype(jnp.float32)
     scale = jnp.where(present_cnt > 0, g / jnp.maximum(present_cnt, 1.0), 0.0)
+    if jax.default_backend() == "tpu":
+        # Fused Pallas backward: per-chunk bilinear radix lookup + chain,
+        # no (k?, P) HBM intermediates (pallas_lovasz.lovasz_radix_bwd).
+        from .pallas_lovasz import lovasz_radix_bwd
+
+        cols = lovasz_radix_bwd(
+            probas_t,
+            labels2,
+            coef_table * scale,
+            bins,
+            ignore_index if ignore_index is not None else -1,
+        )
+        dprobas = cols.T.reshape(shape).astype(probas.dtype)
+        return dprobas, jnp.zeros(labels.shape, dtype=jax.dtypes.float0)
     k1, k2 = _radix_factors(bins)
     iota1 = jnp.arange(k1, dtype=jnp.int32)
     iota2 = jnp.arange(k2, dtype=jnp.int32)

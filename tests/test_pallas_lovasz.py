@@ -57,3 +57,73 @@ def test_all_ignored_gives_empty_hist():
         lovasz_radix_hist(probas, labels, bins=256, chunk=512, interpret=True)
     )
     assert hist.sum() == 0
+
+
+def test_bwd_kernel_matches_table_lookup():
+    """Backward kernel == direct per-pixel coef-table lookup (oracle)."""
+    from rtda_semanticsegmentation_tpu.ops.pallas_lovasz import lovasz_radix_bwd
+
+    rng = np.random.RandomState(1)
+    C, P, bins = 5, 2500, 256
+    probas = rng.rand(C, P).astype(np.float32)
+    labels = rng.randint(0, C, P).astype(np.int32)
+    labels[rng.rand(P) < 0.15] = 255
+    coef = (rng.randn(C, bins) * 0.01).astype(np.float32)
+
+    got = np.asarray(
+        lovasz_radix_bwd(
+            jnp.asarray(probas), jnp.asarray(labels), jnp.asarray(coef),
+            bins, 255, chunk=512, interpret=True,
+        )
+    )
+
+    want = np.zeros((C, P), np.float32)
+    valid = labels != 255
+    for c in range(C):
+        fg = ((labels == c) & valid).astype(np.float32)
+        e = np.abs(fg - probas[c])
+        b = np.clip((e * bins).astype(int), 0, bins - 1)
+        # bf16 coef quantization inside the kernel
+        coef_b = coef[c].astype(jnp.bfloat16).astype(np.float32)
+        want[c] = np.where(valid, coef_b[b] * (1.0 - 2.0 * fg), 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-6)
+
+
+def test_binned_grad_tpu_path_matches_xla_path():
+    """The losses.py backward dispatch: Pallas path == XLA scan path.
+
+    Runs both explicitly via the module internals in interpret mode (the
+    suite runs on CPU, where the dispatch takes the XLA branch)."""
+    import jax
+
+    from rtda_semanticsegmentation_tpu.ops import losses as L
+    from rtda_semanticsegmentation_tpu.ops.pallas_lovasz import lovasz_radix_bwd
+
+    rng = np.random.RandomState(2)
+    B, H, W, C, bins = 2, 16, 24, 19, 256
+    logits = rng.randn(B, H, W, C).astype(np.float32)
+    labels = rng.randint(0, C, (B, H, W)).astype(np.int32)
+    labels[:, 0] = 255
+
+    probas = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    lbl = jnp.asarray(labels)
+
+    # XLA-path gradient (CPU backend dispatch)
+    g_xla = jax.grad(
+        lambda p: L.lovasz_softmax_binned(p, lbl, 255, "present", bins)
+    )(probas)
+
+    # Pallas-path gradient assembled manually from the shared forward
+    loss, coef_table, present_cnt = L._binned_lovasz_forward(
+        probas, lbl, 255, "present", bins
+    )
+    scale = jnp.where(present_cnt > 0, 1.0 / jnp.maximum(present_cnt, 1.0), 0.0)
+    pt = probas.reshape(-1, C).T.astype(jnp.float32)
+    cols = lovasz_radix_bwd(
+        pt, lbl.reshape(-1), coef_table * scale, bins, 255,
+        chunk=512, interpret=True,
+    )
+    g_pallas = cols.T.reshape(probas.shape)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_xla), rtol=5e-2, atol=1e-6
+    )
