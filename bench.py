@@ -139,7 +139,7 @@ def main() -> None:
 
     # Throughput: scan batch sizes, keep the best device img/s.
     best_ips, best_b = 0.0, 1
-    for b in (1, 2, 4, 8, 16, 32):
+    for b in (1, 2, 4, 8, 16, 32, 64):
         dev, rtt = _time_batch(forward, variables, b)
         ips = b / dev
         print(
