@@ -199,10 +199,17 @@ def main():
         lambda x: max_pool_torch(x, 3, 2, 1), ring_of((B, H // 2, W // 2, 64))
     )
 
-    total = 0.0
+    # Stage sum for the attribution check: exactly the stages the current
+    # model executes once each — exclude the FULL row, the A/B variant rows,
+    # the standalone stem/pool rows (stem+pool covers them), and the OLD
+    # head order (the model does 1x1-then-up).
+    in_sum = {
+        "spatial_path", "stem+pool", "layer1", "layer2", "layer3", "layer4",
+        "arm1 (1/16)", "arm2 (1/32)", "cx1 up x2", "cx2 up x4", "ffm",
+        "head: 1x1 then up x8",
+    }
+    total = sum(v for k, v in results.items() if k in in_sum)
     for k, v in results.items():
-        if k != "FULL forward" and not k.startswith("head: 1x1") and k != "stem 7x7/2":
-            total += v
         print(f"{k:24s}: {v * 1e3:7.3f} ms", file=sys.stderr)
     print(f"{'sum of stages':24s}: {total * 1e3:7.3f} ms", file=sys.stderr)
 

@@ -7,7 +7,8 @@ Candidates for conv(x_rgb, 7x7, s2, p3 -> 64) at (4,512,1024,3):
                          depth-to-space 2x2. No input repacking at all; the
                          only relayout is the d2s on 256-channel data.
   c) d2s alone         — cost of the depth-to-space epilogue, isolated.
-  d) maxpool old/new   — reduce_window vs pair-packed slicing A/B.
+  d) maxpool — raw reduce_window vs the production max_pool_torch path
+     (the pair-packed variant was rejected and removed; see layers.py NOTE).
 
 Run on TPU:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_stem_phase_conv.py
 """
@@ -157,7 +158,11 @@ def main():
     from rtda_semanticsegmentation_tpu.models.layers import max_pool_torch
 
     print(f"maxpool reduce_window  : {timeit(pool_old, p_ring)*1e3:7.3f} ms", file=sys.stderr)
-    print(f"maxpool pair-packed    : {timeit(lambda x: max_pool_torch(x, 3, 2, 1), p_ring)*1e3:7.3f} ms", file=sys.stderr)
+    # NOTE: the pair-packed pool variant was rejected and removed from
+    # layers.py (reduce_window won, 0.77 vs 0.98 ms); max_pool_torch at
+    # HEAD is the reduce_window path, so there is nothing left to A/B —
+    # this row is retained as the production-path timing only.
+    print(f"maxpool production path: {timeit(lambda x: max_pool_torch(x, 3, 2, 1), p_ring)*1e3:7.3f} ms", file=sys.stderr)
 
 
 if __name__ == "__main__":
