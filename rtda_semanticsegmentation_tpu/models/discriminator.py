@@ -4,30 +4,93 @@ NHWC re-design of reference ``models/discriminator/discriminator.py:5-85``:
 five 4x4 stride-2 convs num_classes->64->128->256->512->1 with LeakyReLU(0.2)
 between, weights ~ N(0, 0.02). Input is a softmax probability map
 (B, H, W, num_classes); output is a patch logit map (B, H/32, W/32, 1).
+
+The first conv (19 input channels at full resolution) is the one conv
+XLA's v5e emitter runs ~3x off roofline (PERFORMANCE.md); on TPU it
+dispatches to the fused-im2col Pallas kernel (``ops/pallas_conv.py``) with
+identical parameter names/shapes, so checkpoints and weight converters are
+unaffected. Elsewhere (CPU tests, interpret-unfriendly shapes) it falls
+back to ``nn.Conv`` math via ``lax.conv``.
 """
 
 from __future__ import annotations
 
-import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import flax.linen as nn
 
 from .layers import Dtype, normal_init
+
+
+class _Conv4x4s2(nn.Module):
+    """4x4/stride-2/pad-1 conv with a Pallas fused-im2col TPU path.
+
+    Parameter tree matches ``nn.Conv`` (kernel HWIO + bias) exactly.
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            normal_init(0.02),
+            (4, 4, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        h, w = x.shape[1], x.shape[2]
+        if (
+            self.use_pallas
+            and jax.default_backend() == "tpu"
+            and h % 2 == 0
+            and w % 2 == 0
+        ):
+            from ..ops.pallas_conv import fused_conv4x4s2p1
+
+            y = fused_conv4x4s2p1(
+                x.astype(self.dtype), kernel, 32, 8, jnp.dtype(self.dtype)
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                (2, 2),
+                ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return y + bias.astype(y.dtype)
 
 
 class FCDiscriminator(nn.Module):
     num_classes: int = 19
     ndf: int = 64
     dtype: Dtype = jnp.bfloat16
+    # Pallas fused conv1 on TPU (few-channel full-res conv; the other four
+    # convs have >=64 input channels and are emitter-friendly natively).
+    fused_conv1: bool = True
 
     @nn.compact
     def __call__(self, x):
         widths = (self.ndf, self.ndf * 2, self.ndf * 4, self.ndf * 8)
         for i, ch in enumerate(widths):
-            x = nn.Conv(
-                ch, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
-                use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
-                kernel_init=normal_init(0.02), name=f"conv{i + 1}",
-            )(x)
+            if i == 0:
+                x = _Conv4x4s2(
+                    ch,
+                    dtype=self.dtype,
+                    use_pallas=self.fused_conv1,
+                    name=f"conv{i + 1}",
+                )(x)
+            else:
+                x = nn.Conv(
+                    ch, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=normal_init(0.02), name=f"conv{i + 1}",
+                )(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
         x = nn.Conv(
             1, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=True,

@@ -187,23 +187,32 @@ def make_train_step(
         images_t = images_t.astype(compute_dtype)
 
         g, d = state.generator, state.discriminator
+        use_aux = bool(cfg.loss.aux_weight)
 
         def g_forward(params):
             """Source then target forward — BN stats updated sequentially,
             matching the reference's two successive train-mode calls.
-            Returns source outputs WITH aux heads (for optional aux
-            supervision); target keeps the primary head only."""
-            outs_s, bs1 = _apply_train(
+            Differentiable outputs: (pred_s, pred_t) plus the source aux
+            heads when aux supervision is on (None-ness is static)."""
+            (pred_s, s1, s2), bs1 = _apply_train(
                 g, params, g.batch_stats, images_s, cfg.train.remat
             )
             (pred_t, _, _), bs2 = _apply_train(
                 g, params, bs1, images_t, cfg.train.remat
             )
-            return outs_s, pred_t, bs2
+            aux = (
+                tuple(a for a in (s1, s2) if a is not None) if use_aux else ()
+            )
+            return (pred_s, pred_t) + aux, bs2
 
-        # --- Discriminator step (reference train.py:250-278) ---
-        # Uses pre-update-G predictions, detached.
-        (pred_s0, _, _), pred_t0, _ = g_forward(g.params)
+        # ONE generator forward, shared by construction between the D step
+        # (detached predictions) and the G backward (via the vjp pullback).
+        # Calling g_forward twice and relying on XLA CSE leaves the FFM
+        # head conv + its 1024-channel concat duplicated per domain
+        # (scripts/check_adv_step_cse.py); this formulation is bit-identical
+        # and strictly smaller.
+        preds, g_pullback, new_bs = jax.vjp(g_forward, g.params, has_aux=True)
+        pred_s0, pred_t0 = preds[0], preds[1]
         sm_s = jax.lax.stop_gradient(
             jax.nn.softmax(pred_s0.astype(jnp.float32), axis=-1)
         ).astype(compute_dtype)
@@ -227,11 +236,13 @@ def make_train_step(
         new_d = d.apply_gradients(d_grads)
 
         # --- Generator step (reference train.py:280-306) ---
-        # Recomputes the same forward (XLA CSEs it with the one above) so the
-        # gradient flows; adv term goes through the *updated* D.
-        def g_loss_fn(g_params):
-            (pred_s, sup1, sup2), pred_t, new_bs = g_forward(g_params)
-            loss_seg, parts = _seg_loss(pred_s, labels_s, cfg, aux=(sup1, sup2))
+        # Loss on the shared forward's predictions; adv term goes through
+        # the *updated* D; gradients reach the params via the pullback.
+        def g_loss_fn(live_preds):
+            pred_s, pred_t = live_preds[0], live_preds[1]
+            loss_seg, parts = _seg_loss(
+                pred_s, labels_s, cfg, aux=live_preds[2:]
+            )
             sm_t_live = jax.nn.softmax(
                 pred_t.astype(jnp.float32), axis=-1
             ).astype(compute_dtype)
@@ -239,11 +250,12 @@ def make_train_step(
             loss_adv = bce_with_logits(d_out, REAL_LABEL)
             total = loss_seg + cfg.adversarial.lambda_adv * loss_adv
             parts = {**parts, "loss_seg": loss_seg, "loss_adv_g": loss_adv}
-            return total, (new_bs, parts)
+            return total, parts
 
-        (loss_g, (new_bs, parts)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(g.params)
+        (loss_g, parts), dpreds = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            preds
+        )
+        (g_grads,) = g_pullback(dpreds)
         new_g = g.apply_gradients(g_grads).replace(batch_stats=new_bs)
 
         metrics = {

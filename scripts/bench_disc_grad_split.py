@@ -42,18 +42,19 @@ def timeit(fn, *rings):
 
 
 def fsum(t):
-    return jnp.sum(jax.tree.map(
-        lambda a: jnp.sum(a.astype(jnp.float32)),
-        jax.tree.leaves(t),
-    ) if isinstance(t, (tuple, list, dict)) else t.astype(jnp.float32))
+    leaves = jax.tree.leaves(t)
+    out = jnp.zeros((), jnp.float32)
+    for leaf in leaves:
+        out = out + jnp.sum(leaf.astype(jnp.float32))
+    return out
 
 
 def conv1(x, w):
+    # pure bf16 like flax nn.Conv(dtype=bf16): keeps the vjp dtypes closed
     return jax.lax.conv_general_dilated(
         x, w, (2, 2), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)
+    )
 
 
 def main():

@@ -71,6 +71,56 @@ def main():
         except Exception as e:
             print(f"pallas R={br:3d} c={ck:2d}: FAILED {type(e).__name__}: {e}")
 
+    # ---- backward kernels ----
+    from rtda_semanticsegmentation_tpu.ops.pallas_conv import (
+        conv4x4s2p1_dw,
+        conv4x4s2p1_dx,
+    )
+
+    dy_ring = jnp.asarray(
+        rng.randn(RING, B, H // 2, W // 2, CO), jnp.bfloat16)
+
+    def conv_f(x, wk):
+        return jax.lax.conv_general_dilated(
+            x, wk, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    _, vjp = jax.vjp(lambda x, wk: conv_f(x, wk), ring[0], w)
+    dx_ref, dw_ref = vjp(dy_ring[0])
+
+    def native_dw(dy):
+        _, vjp = jax.vjp(lambda wk: conv_f(ring[0], wk), w)
+        return vjp(dy)[0]
+
+    t = timeit(native_dw, dy_ring)
+    print(f"native dW       : {t * 1e3:7.3f} ms")
+    for br in (16, 32):
+        def p_dw(dy, br=br):
+            return conv4x4s2p1_dw(ring[0], dy, block_rows=br)
+
+        got = np.asarray(p_dw(dy_ring[0]), np.float32)
+        rel = np.abs(got - np.asarray(dw_ref, np.float32)).max() / (
+            np.abs(np.asarray(dw_ref, np.float32)).max() + 1e-9)
+        t = timeit(p_dw, dy_ring)
+        print(f"pallas dW R={br:3d} : {t * 1e3:7.3f} ms [rel {rel:.2e}]")
+
+    def native_dx(dy):
+        _, vjp = jax.vjp(lambda x: conv_f(x, w), ring[0])
+        return vjp(dy)[0]
+
+    t = timeit(native_dx, dy_ring)
+    print(f"native dx       : {t * 1e3:7.3f} ms")
+    for br in (16, 32):
+        def p_dx(dy, br=br):
+            return conv4x4s2p1_dx(dy, w, block_rows=br)
+
+        got = np.asarray(p_dx(dy_ring[0]), np.float32)
+        rel = np.abs(got - np.asarray(dx_ref, np.float32)).max() / (
+            np.abs(np.asarray(dx_ref, np.float32)).max() + 1e-9)
+        t = timeit(p_dx, dy_ring)
+        print(f"pallas dx R={br:3d} : {t * 1e3:7.3f} ms [rel {rel:.2e}]")
+
 
 if __name__ == "__main__":
     main()

@@ -196,6 +196,30 @@ def test_adversarial_step_updates_both_nets(adv_setup):
     assert 0.0 < float(m["loss_d"]) < 2.0
 
 
+def test_adversarial_with_aux_supervision_runs():
+    """Aux heads flow through the shared-forward vjp (live_preds[2:])."""
+    cfg = tiny_config(
+        adversarial__enabled=True,
+        augment__pipeline="no_new_aug",
+        loss__aux_weight=1.0,
+    )
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    d_sched = poly_lr_schedule(cfg.adversarial.disc_learning_rate, MAX_ITER)
+    step = jax.jit(make_train_step(cfg, g_sched, d_sched))
+    state, m = step(
+        build_state(cfg, with_disc=True), make_batch(target=True),
+        jax.random.PRNGKey(0),
+    )
+    assert "loss_aux" in m and np.isfinite(float(m["loss_aux"]))
+    assert float(m["loss_aux"]) > 0
+    # total still seg + lambda*adv; seg includes the aux term
+    assert float(m["loss"]) == pytest.approx(
+        float(m["loss_seg"])
+        + cfg.adversarial.lambda_adv * float(m["loss_adv_g"]),
+        rel=1e-5,
+    )
+
+
 def test_adversarial_total_is_seg_plus_lambda_adv(adv_setup):
     cfg, step, state = adv_setup
     state = fresh(state)
