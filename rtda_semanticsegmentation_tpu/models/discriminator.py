@@ -25,12 +25,17 @@ from .layers import Dtype, normal_init
 class _Conv4x4s2(nn.Module):
     """4x4/stride-2/pad-1 conv with a Pallas fused-im2col TPU path.
 
-    Parameter tree matches ``nn.Conv`` (kernel HWIO + bias) exactly.
+    Parameter tree matches ``nn.Conv`` (kernel HWIO + bias) exactly. With a
+    ``mesh`` the Pallas call runs per batch shard under shard_map — a bare
+    pallas_call under the SPMD partitioner would be replicated (all chips
+    all-gather and redo the full batch).
     """
 
     features: int
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = True
+    mesh: object = None
+    data_axis: str = "data"
 
     @nn.compact
     def __call__(self, x):
@@ -44,17 +49,40 @@ class _Conv4x4s2(nn.Module):
             "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
         )
         h, w = x.shape[1], x.shape[2]
-        if (
-            self.use_pallas
-            and jax.default_backend() == "tpu"
-            and h % 2 == 0
-            and w % 2 == 0
-        ):
+        from ..ops import losses as _losses
+
+        use_pallas, interpret = (
+            (True, False)
+            if jax.default_backend() == "tpu"
+            else (
+                _losses.FORCE_PALLAS_INTERPRET,
+                _losses.FORCE_PALLAS_INTERPRET,
+            )
+        )
+        if self.use_pallas and use_pallas and h % 2 == 0 and w % 2 == 0:
             from ..ops.pallas_conv import fused_conv4x4s2p1
 
-            y = fused_conv4x4s2p1(
-                x.astype(self.dtype), kernel, 32, 8, jnp.dtype(self.dtype)
-            )
+            def conv(xb, k):
+                return fused_conv4x4s2p1(
+                    xb.astype(self.dtype), k, 32, 8, jnp.dtype(self.dtype),
+                    interpret,
+                )
+
+            if (
+                self.mesh is not None
+                and x.shape[0] % self.mesh.shape[self.data_axis] == 0
+            ):
+                # (init calls use a batch-1 dummy: plain path, same params)
+                from jax.sharding import PartitionSpec as P
+
+                conv = jax.shard_map(
+                    conv,
+                    mesh=self.mesh,
+                    in_specs=(P(self.data_axis), P()),
+                    out_specs=P(self.data_axis),
+                    check_vma=False,  # pallas outputs carry no vma info
+                )
+            y = conv(x, kernel)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
@@ -73,6 +101,9 @@ class FCDiscriminator(nn.Module):
     # Pallas fused conv1 on TPU (few-channel full-res conv; the other four
     # convs have >=64 input channels and are emitter-friendly natively).
     fused_conv1: bool = True
+    # Set when data-parallel so the Pallas conv shards over the batch.
+    mesh: object = None
+    data_axis: str = "data"
 
     @nn.compact
     def __call__(self, x):
@@ -83,6 +114,8 @@ class FCDiscriminator(nn.Module):
                     ch,
                     dtype=self.dtype,
                     use_pallas=self.fused_conv1,
+                    mesh=self.mesh,
+                    data_axis=self.data_axis,
                     name=f"conv{i + 1}",
                 )(x)
             else:

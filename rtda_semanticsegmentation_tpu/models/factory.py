@@ -35,11 +35,21 @@ def build_model(cfg: ModelConfig):
     raise ValueError(f"unknown model {cfg.name!r}; options: bisenet, deeplabv2")
 
 
-def build_discriminator(cfg: ModelConfig):
+def build_discriminator(cfg: ModelConfig, mesh_ctx=None):
+    """FCDiscriminator; with a multi-shard ``mesh_ctx`` the Pallas conv1
+    runs per data shard under shard_map (a bare pallas_call would be
+    replicated by the SPMD partitioner)."""
+    mesh = None
+    data_axis = "data"
+    if mesh_ctx is not None and mesh_ctx.num_data_shards > 1:
+        mesh = mesh_ctx.mesh
+        data_axis = mesh_ctx.data_axis
     return FCDiscriminator(
         num_classes=cfg.num_classes,
         ndf=cfg.disc_ndf,
         dtype=jnp.dtype(cfg.compute_dtype),
+        mesh=mesh,
+        data_axis=data_axis,
     )
 
 

@@ -196,7 +196,82 @@ def _binned_hists_xla(probas_t, labels, valid, bins):
     return hists  # (C, 3, bins)
 
 
-def _binned_lovasz_forward(probas, labels, ignore_index, classes, bins):
+# Test hook: force the Pallas kernels (interpret mode) off-TPU so the
+# shard_map SPMD wrapping below is exercisable on the virtual CPU mesh.
+FORCE_PALLAS_INTERPRET = False
+
+
+def _use_pallas() -> tuple[bool, bool]:
+    """(use_pallas_kernels, interpret_mode)."""
+    if jax.default_backend() == "tpu":
+        return True, False
+    return FORCE_PALLAS_INTERPRET, FORCE_PALLAS_INTERPRET
+
+
+def _pixel_sharded(pmesh, data_axis: str) -> bool:
+    return pmesh is not None and pmesh.shape.get(data_axis, 1) > 1
+
+
+def _hist_pallas(probas_t, labels, bins, ignore, pmesh, data_axis):
+    """Pallas histogram, per-shard under shard_map when pixels are sharded.
+
+    A bare ``pallas_call`` under SPMD gets *replicated* by the partitioner
+    (every chip all-gathers the full pixel set — measured on the 8-device
+    mesh: output spec becomes fully replicated). Histograms are pixel-sums,
+    so each shard bins its local pixels and a psum over ``data`` restores
+    the exact global histogram.
+    """
+    from .pallas_lovasz import lovasz_radix_hist
+
+    _, interpret = _use_pallas()
+    if not _pixel_sharded(pmesh, data_axis):
+        return lovasz_radix_hist(
+            probas_t, labels, bins, ignore, interpret=interpret
+        )
+    from jax.sharding import PartitionSpec as P
+
+    def local(p, l):
+        h = lovasz_radix_hist(p, l, bins, ignore, interpret=interpret)
+        return jax.lax.psum(h, data_axis)
+
+    return jax.shard_map(
+        local,
+        mesh=pmesh,
+        in_specs=(P(None, data_axis), P(data_axis)),
+        out_specs=P(None, None, None),
+        check_vma=False,  # pallas outputs carry no vma info
+    )(probas_t, labels)
+
+
+def _bwd_pallas(probas_t, labels, coef, bins, ignore, pmesh, data_axis):
+    """Pallas radix backward, per-shard when pixels are sharded.
+
+    The gradient is pointwise given the (replicated) global coef table, so
+    no collective is needed — each shard produces its pixel columns."""
+    from .pallas_lovasz import lovasz_radix_bwd
+
+    _, interpret = _use_pallas()
+    if not _pixel_sharded(pmesh, data_axis):
+        return lovasz_radix_bwd(
+            probas_t, labels, coef, bins, ignore, interpret=interpret
+        )
+    from jax.sharding import PartitionSpec as P
+
+    def local(p, l, ct):
+        return lovasz_radix_bwd(p, l, ct, bins, ignore, interpret=interpret)
+
+    return jax.shard_map(
+        local,
+        mesh=pmesh,
+        in_specs=(P(None, data_axis), P(data_axis), P(None, None)),
+        out_specs=P(None, data_axis),
+        check_vma=False,  # pallas outputs carry no vma info
+    )(probas_t, labels, coef)
+
+
+def _binned_lovasz_forward(
+    probas, labels, ignore_index, classes, bins, pmesh=None, data_axis="data"
+):
     """Per-class counting-sort Lovász: returns (loss, coef_table, present).
 
     coef_table[c, k] is dL_c/d(error of a pixel of class-c in bucket k)
@@ -221,10 +296,10 @@ def _binned_lovasz_forward(probas, labels, ignore_index, classes, bins):
     else:
         valid = jnp.ones_like(labels, dtype=bool)
         ignore = -1
-    if jax.default_backend() == "tpu":
-        from .pallas_lovasz import lovasz_radix_hist
-
-        hists = lovasz_radix_hist(probas_t, labels, bins, ignore)
+    if _use_pallas()[0]:
+        hists = _hist_pallas(
+            probas_t, labels, bins, ignore, pmesh, data_axis
+        )
     else:
         hists = _binned_hists_xla(probas_t, labels, valid, bins)
 
@@ -261,13 +336,15 @@ def _binned_lovasz_forward(probas, labels, ignore_index, classes, bins):
 import functools as _functools
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def lovasz_softmax_binned(
     probas: jnp.ndarray,
     labels: jnp.ndarray,
     ignore_index: int | None = 255,
     classes: str = "present",
     bins: int = 1024,
+    pmesh=None,
+    data_axis: str = "data",
 ) -> jnp.ndarray:
     """Lovász-Softmax via counting sort — the TPU-fast formulation.
 
@@ -294,19 +371,19 @@ def lovasz_softmax_binned(
     backward.
     """
     loss, _, _ = _binned_lovasz_forward(
-        probas, labels, ignore_index, classes, bins
+        probas, labels, ignore_index, classes, bins, pmesh, data_axis
     )
     return loss
 
 
-def _binned_fwd(probas, labels, ignore_index, classes, bins):
+def _binned_fwd(probas, labels, ignore_index, classes, bins, pmesh, data_axis):
     loss, coef_table, present_cnt = _binned_lovasz_forward(
-        probas, labels, ignore_index, classes, bins
+        probas, labels, ignore_index, classes, bins, pmesh, data_axis
     )
     return loss, (probas, labels, coef_table, present_cnt)
 
 
-def _binned_bwd(ignore_index, classes, bins, res, g):
+def _binned_bwd(ignore_index, classes, bins, pmesh, data_axis, res, g):
     probas, labels, coef_table, present_cnt = res
     shape = probas.shape
     num_classes = shape[-1]

@@ -33,6 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# v5e has 128 MB of physical VMEM; the Mosaic default scoped limit is 16 MB,
+# which the (block + im2col tile + double-buffering) working set exceeds.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _conv_kernel(
     xm_ref,  # (1, 2R, Wp, C2) main rows block
@@ -43,6 +47,7 @@ def _conv_kernel(
     block_rows: int,
     chunk: int,
     wo: int,
+    fuse_k: bool,
 ):
     r = block_rows
     c2 = xm_ref.shape[-1]
@@ -65,13 +70,28 @@ def _conv_kernel(
                 taps.append(
                     rows[:, p : p + wo, :].reshape(chunk * wo, c2)
                 )
-        col = jnp.concatenate(taps, axis=1).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(
-            col,
-            wk,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (chunk*Wo, CO)
+        if fuse_k:
+            # one dense GEMM; the 8 tap copies into `col` run at C2-lane
+            # (sub-128) efficiency — measured slower than native for C=19
+            col = jnp.concatenate(taps, axis=1).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                col,
+                wk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (chunk*Wo, CO)
+        else:
+            # copy-free: 8 accumulating K=C2 GEMMs straight off the planes
+            # (MXU pads K to 128; trades padded FLOPs for zero VPU copies)
+            acc = None
+            for q, tap in enumerate(taps):
+                part = jax.lax.dot_general(
+                    tap.astype(jnp.bfloat16),
+                    wk[q * c2 : (q + 1) * c2],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
         out_ref[0, pl.ds(i0, chunk)] = acc.reshape(
             chunk, wo, -1
         ).astype(out_ref.dtype)
@@ -93,7 +113,7 @@ def pack_kernel(w: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_rows", "chunk", "out_dtype", "interpret"),
+    static_argnames=("block_rows", "chunk", "out_dtype", "interpret", "fuse_k"),
 )
 def conv4x4s2p1(
     x: jnp.ndarray,  # (B, H, W, C), H and W even
@@ -103,6 +123,7 @@ def conv4x4s2p1(
     chunk: int = 8,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    fuse_k: bool = False,
 ) -> jnp.ndarray:
     """4x4 stride-2 pad-1 conv, fused-im2col Pallas kernel.
 
@@ -129,7 +150,7 @@ def conv4x4s2p1(
     wp = xp.shape[2]
 
     kernel = functools.partial(
-        _conv_kernel, block_rows=block_rows, chunk=chunk, wo=wo
+        _conv_kernel, block_rows=block_rows, chunk=chunk, wo=wo, fuse_k=fuse_k
     )
     return pl.pallas_call(
         kernel,
@@ -156,6 +177,7 @@ def conv4x4s2p1(
         ),
         out_shape=jax.ShapeDtypeStruct((b, ho, wo, co), out_dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(xm, xh, wf)
 
 
@@ -262,6 +284,7 @@ def conv4x4s2p1_dw(
         ),
         out_shape=jax.ShapeDtypeStruct((16 * c, co), jnp.float32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(xm, xh, dy)
     # inverse of pack_kernel: (ky, p, h, c) -> (ky, kx=2p+h, c)
     return wf_grad.reshape(4, 2, 2, c, co).reshape(4, 4, c, co)
@@ -416,6 +439,7 @@ def conv4x4s2p1_dx(
             pltpu.VMEM((rb, wp, c2), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(dy, dy, dy, wf)
     # out rows are padded rows [1, H+1) == original rows [0, H); unpack the
     # width packing and crop the width pad.

@@ -111,6 +111,17 @@ class Trainer:
             raise ValueError("empty training dataset")
         self.max_iter = t.epochs * self.steps_per_epoch
 
+        # --- mesh (before model build: the discriminator's Pallas conv1
+        # needs it for shard_map dispatch) ---
+        self.mesh_ctx = create_mesh(cfg.mesh)
+        n_data = self.mesh_ctx.num_data_shards
+        if t.batch_size % n_data or cfg.data.eval_batch_size % n_data:
+            raise ValueError(
+                f"batch sizes (train {t.batch_size}, eval "
+                f"{cfg.data.eval_batch_size}) must be divisible by the data "
+                f"axis size {n_data}; set mesh.data or adjust batch sizes"
+            )
+
         # --- models + optimizers (reference model_loader.py, main.py:279-310) ---
         h, w = cfg.train_size
         self.model = build_model(cfg.model)
@@ -132,7 +143,7 @@ class Trainer:
         )
         d = None
         if cfg.adversarial.enabled:
-            self.disc = build_discriminator(cfg.model)
+            self.disc = build_discriminator(cfg.model, self.mesh_ctx)
             d_vars = init_model(
                 self.disc,
                 jax.random.fold_in(rng, 1),
@@ -147,15 +158,7 @@ class Trainer:
             )
         self.state = TrainState.create(g, d)
 
-        # --- mesh + compiled steps ---
-        self.mesh_ctx = create_mesh(cfg.mesh)
-        n_data = self.mesh_ctx.num_data_shards
-        if t.batch_size % n_data or cfg.data.eval_batch_size % n_data:
-            raise ValueError(
-                f"batch sizes (train {t.batch_size}, eval "
-                f"{cfg.data.eval_batch_size}) must be divisible by the data "
-                f"axis size {n_data}; set mesh.data or adjust batch sizes"
-            )
+        # --- sharding + compiled steps ---
         # Pure DP replicates; model>1 shards wide conv kernels (TP).
         self.state = shard_state(self.state, self.mesh_ctx)
         g_sched = poly_lr_schedule(
@@ -171,7 +174,8 @@ class Trainer:
             else None
         )
         self.train_step = jax.jit(
-            make_train_step(cfg, g_sched, d_sched), donate_argnums=0
+            make_train_step(cfg, g_sched, d_sched, mesh_ctx=self.mesh_ctx),
+            donate_argnums=0,
         )
         self.eval_step = jax.jit(make_eval_step(cfg, self.model.apply))
 

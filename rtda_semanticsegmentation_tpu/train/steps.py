@@ -91,6 +91,7 @@ def _seg_loss(
     labels: jnp.ndarray,
     cfg: ExperimentConfig,
     aux: Tuple = (),
+    mesh_ctx=None,
 ) -> Tuple[jnp.ndarray, Metrics]:
     ce = cross_entropy_with_ignore(logits, labels, cfg.loss.ignore_index)
     total, parts = ce, {"loss_ce": ce}
@@ -108,8 +109,15 @@ def _seg_loss(
     if cfg.loss.use_lovasz:
         probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         if cfg.loss.lovasz_impl == "binned":
+            # mesh-aware: the Pallas histogram/backward run per data shard
+            # under shard_map instead of being replicated by the partitioner
             lov = lovasz_softmax_binned(
-                probas, labels, cfg.loss.ignore_index, bins=cfg.loss.lovasz_bins
+                probas,
+                labels,
+                cfg.loss.ignore_index,
+                bins=cfg.loss.lovasz_bins,
+                pmesh=None if mesh_ctx is None else mesh_ctx.mesh,
+                data_axis="data" if mesh_ctx is None else mesh_ctx.data_axis,
             )
         else:
             lov = lovasz_softmax(probas, labels, cfg.loss.ignore_index)
@@ -137,6 +145,7 @@ def make_train_step(
     cfg: ExperimentConfig,
     g_schedule: Callable,
     d_schedule: Optional[Callable] = None,
+    mesh_ctx=None,
 ):
     """Build the per-batch step fn for the configured mode.
 
@@ -158,7 +167,9 @@ def make_train_step(
             (logits, sup1, sup2), new_bs = _apply_train(
                 g, params, g.batch_stats, images, cfg.train.remat
             )
-            loss, parts = _seg_loss(logits, labels, cfg, aux=(sup1, sup2))
+            loss, parts = _seg_loss(
+                logits, labels, cfg, aux=(sup1, sup2), mesh_ctx=mesh_ctx
+            )
             return loss, (new_bs, parts)
 
         (loss, (new_bs, parts)), grads = jax.value_and_grad(
@@ -241,7 +252,7 @@ def make_train_step(
         def g_loss_fn(live_preds):
             pred_s, pred_t = live_preds[0], live_preds[1]
             loss_seg, parts = _seg_loss(
-                pred_s, labels_s, cfg, aux=live_preds[2:]
+                pred_s, labels_s, cfg, aux=live_preds[2:], mesh_ctx=mesh_ctx
             )
             sm_t_live = jax.nn.softmax(
                 pred_t.astype(jnp.float32), axis=-1
