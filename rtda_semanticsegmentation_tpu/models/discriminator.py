@@ -98,9 +98,12 @@ class FCDiscriminator(nn.Module):
     num_classes: int = 19
     ndf: int = 64
     dtype: Dtype = jnp.bfloat16
-    # Pallas fused conv1 on TPU (few-channel full-res conv; the other four
-    # convs have >=64 input channels and are emitter-friendly natively).
-    fused_conv1: bool = True
+    # Opt-in Pallas fused conv1. Measured on v5e: the fused-im2col kernel
+    # LOSES to the native emitter (8.4 vs 4.8 ms fwd; dW 9.2 vs 6.1; dx
+    # ties) — every formulation pays sub-128-lane copies for the 38-wide
+    # packed channels (PERFORMANCE.md). Kept as tested machinery for
+    # future layouts; OFF by default.
+    fused_conv1: bool = False
     # Set when data-parallel so the Pallas conv shards over the batch.
     mesh: object = None
     data_axis: str = "data"

@@ -265,7 +265,8 @@ class TestBinnedLovaszSPMD:
         ref = ref_model.apply(variables, x)
 
         spmd_model = FCDiscriminator(
-            num_classes=7, dtype=jnp.float32, mesh=mesh, data_axis="data"
+            num_classes=7, dtype=jnp.float32, fused_conv1=True,
+            mesh=mesh, data_axis="data",
         )
         xs = jax.device_put(x, NamedSharding(mesh, P("data")))
         L.FORCE_PALLAS_INTERPRET = True
