@@ -105,6 +105,12 @@ class ModelConfig:
     fast_input: bool = False
     pretrained_backbone: Optional[str] = None  # path to converted .npz weights
     disc_ndf: int = 64  # FCDiscriminator base width (reference discriminator.py:12)
+    # int8 post-training quantization for the serving path ('none' | 'calib'
+    # | 'int8'); training always runs 'none'. Convs with >= quant_min_ch
+    # input channels are quantized after a calibration pass
+    # (models/quantize.py). v5e's MXU runs s8 at 2x the bf16 rate.
+    quant: str = "none"
+    quant_min_ch: int = 64
 
 
 @dataclass(frozen=True)

@@ -45,6 +45,8 @@ from .resnet import ContextPath
 class SpatialPath(nn.Module):
     dtype: Dtype = jnp.bfloat16
     phase: int = 0  # multi-phase conv for the MXU-starved RGB conv (0 = off)
+    quant: str = "none"
+    quant_min_ch: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,6 +57,7 @@ class SpatialPath(nn.Module):
             x = ConvBN(
                 ch, dtype=self.dtype, name=f"convblock{i + 1}",
                 phase_factor=self.phase if i == 0 else 0,
+                quant=self.quant, quant_min_ch=self.quant_min_ch,
             )(x, train)
         return x
 
@@ -85,12 +88,15 @@ class FeatureFusionModule(nn.Module):
 
     num_classes: int
     dtype: Dtype = jnp.bfloat16
+    quant: str = "none"
+    quant_min_ch: int = 64
 
     @nn.compact
     def __call__(self, sx, cx, train: bool = False):
         x = jnp.concatenate([sx, cx], axis=-1)
         feature = ConvBN(
-            self.num_classes, (3, 3), (1, 1), dtype=self.dtype, name="convblock"
+            self.num_classes, (3, 3), (1, 1), dtype=self.dtype, name="convblock",
+            quant=self.quant, quant_min_ch=self.quant_min_ch,
         )(x, train)
         g = global_avg_pool(feature, keepdims=True)
         g = nn.relu(
@@ -126,19 +132,25 @@ class BiSeNet(nn.Module):
     # slower than the native stems in the full model on v5e
     # (scripts/bench_fast_input_ab.py).
     fast_input: bool = False
+    # int8 PTQ serving path ('none' | 'calib' | 'int8'); convs with at least
+    # quant_min_ch input channels run on the s8 MXU path after calibration
+    # (models/quantize.py). Inference-only: train always uses 'none'.
+    quant: str = "none"
+    quant_min_ch: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h, w = x.shape[1], x.shape[2]
         phase = 4 if self.fast_input else 0
-        sx = SpatialPath(dtype=self.dtype, name="spatial_path", phase=phase)(
+        q = dict(quant=self.quant, quant_min_ch=self.quant_min_ch)
+        sx = SpatialPath(dtype=self.dtype, name="spatial_path", phase=phase, **q)(
             x, train
         )
 
         depth = {"resnet18": 18, "resnet101": 101}[self.context_path]
         cx1, cx2, tail = ContextPath(
             depth=depth, dtype=self.dtype, name="context_path",
-            stem_phase=phase,
+            stem_phase=phase, **q,
         )(x, train)
 
         cx1 = AttentionRefinementModule(
@@ -169,7 +181,7 @@ class BiSeNet(nn.Module):
             sup2 = resize_bilinear(sup2, (h, w))
 
         result = FeatureFusionModule(
-            self.num_classes, dtype=self.dtype, name="ffm"
+            self.num_classes, dtype=self.dtype, name="ffm", **q
         )(sx, cx, train)
 
         # Reference order is upsample x8 then 1x1 conv (build_bisenet.py:

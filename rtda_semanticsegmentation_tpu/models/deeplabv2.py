@@ -50,6 +50,8 @@ class DeepLabV2(nn.Module):
     num_classes: int = 19
     dtype: Dtype = jnp.bfloat16
     fast_input: bool = False  # phase-conv RGB stem (exact; see layers.conv_phase)
+    quant: str = "none"  # int8 PTQ serving path (see models/quantize.py)
+    quant_min_ch: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -58,6 +60,7 @@ class DeepLabV2(nn.Module):
             depth=101, output_stride=8, deeplab_style=True,
             dtype=self.dtype, name="resnet",
             stem_phase=4 if self.fast_input else 0,
+            quant=self.quant, quant_min_ch=self.quant_min_ch,
         )(x, train)
         logits = ASPP(self.num_classes, dtype=self.dtype, name="aspp")(c4)
         logits = resize_bilinear(logits, (h, w))

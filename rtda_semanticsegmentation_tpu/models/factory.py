@@ -27,10 +27,13 @@ def build_model(cfg: ModelConfig):
             context_path=cfg.context_path,
             dtype=dtype,
             fast_input=cfg.fast_input,
+            quant=cfg.quant,
+            quant_min_ch=cfg.quant_min_ch,
         )
     if cfg.name == "deeplabv2":
         return DeepLabV2(
-            num_classes=cfg.num_classes, dtype=dtype, fast_input=cfg.fast_input
+            num_classes=cfg.num_classes, dtype=dtype, fast_input=cfg.fast_input,
+            quant=cfg.quant, quant_min_ch=cfg.quant_min_ch,
         )
     raise ValueError(f"unknown model {cfg.name!r}; options: bisenet, deeplabv2")
 

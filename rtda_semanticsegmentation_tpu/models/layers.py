@@ -214,6 +214,70 @@ class _PhaseConv(nn.Module):
         )
 
 
+class QuantConv(nn.Module):
+    """Bias-free conv with int8 post-training quantization (serving path).
+
+    Parameter tree is identical to ``nn.Conv(name=...)`` (one f32 ``kernel``),
+    so train/eval checkpoints load unchanged. Two modes:
+
+    - ``calib``: runs the normal compute-dtype conv while recording
+      max|input| into the mutable ``quant_stats`` collection (max-merged
+      across calibration batches).
+    - ``int8``: quantizes the input per-tensor with the calibrated scale and
+      the kernel per-output-channel, convolves s8 x s8 -> s32 on the MXU,
+      dequantizes into the compute dtype (see ``ops/quant.py``). Requires a
+      prior calibration pass (``models/quantize.py::calibrate``).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[Tuple[int, int], Tuple[int, int]]
+    dilation: int = 1
+    mode: str = "calib"  # calib | int8
+    dtype: Dtype = jnp.bfloat16
+    kernel_init: Callable = kaiming_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_conv
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        stat = self.variable(
+            "quant_stats", "in_absmax", lambda: jnp.zeros((), jnp.float32)
+        )
+        d = (self.dilation, self.dilation)
+        if self.mode == "calib":
+            if not self.is_initializing():
+                stat.value = jnp.maximum(
+                    stat.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                )
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                self.strides,
+                self.padding,
+                rhs_dilation=d,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        assert self.mode == "int8", self.mode
+        return int8_conv(
+            x,
+            kernel,
+            stat.value,
+            self.strides,
+            self.padding,
+            dilation=d,
+            out_dtype=self.dtype,
+        )
+
+
 class ConvBN(nn.Module):
     """Conv (no bias) -> BatchNorm -> optional ReLU.
 
@@ -223,6 +287,12 @@ class ConvBN(nn.Module):
     ``phase_factor > 1`` computes the conv in multi-phase coarse-stride form
     (exact rearrangement — see :func:`conv_phase`); used for the RGB-input
     stems whose 3-channel contraction starves the MXU.
+
+    ``quant`` ('none' | 'calib' | 'int8') switches the conv onto the int8
+    serving path (:class:`QuantConv`) when the input has at least
+    ``quant_min_ch`` channels — few-channel convs (the RGB stems) are
+    layout-bound, not MXU-bound, and gain nothing from s8. All three modes
+    share one parameter tree.
     """
 
     features: int
@@ -234,10 +304,24 @@ class ConvBN(nn.Module):
     dtype: Dtype = jnp.bfloat16
     kernel_init: Callable = kaiming_normal_fan_in
     phase_factor: int = 0
+    quant: str = "none"  # none | calib | int8
+    quant_min_ch: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.phase_factor > 1 and self.dilation == 1:
+        if self.quant != "none" and x.shape[-1] >= self.quant_min_ch:
+            x = QuantConv(
+                self.features,
+                self.kernel_size,
+                self.strides,
+                self.padding,
+                dilation=self.dilation,
+                mode=self.quant,
+                dtype=self.dtype,
+                kernel_init=self.kernel_init,
+                name="conv",
+            )(x)
+        elif self.phase_factor > 1 and self.dilation == 1:
             x = _PhaseConv(
                 self.features,
                 self.kernel_size,

@@ -1,0 +1,56 @@
+"""int8 PTQ calibration + quantized-model construction (serving path).
+
+The reference has no quantized serving mode; this is a TPU-native addition
+layered on the trained checkpoints (scheme in ``ops/quant.py``). Usage:
+
+    variables = calibrate(cfg.model, variables, calib_batches)   # once
+    model_q = quantized_model(cfg.model)                         # quant='int8'
+    logits = model_q.apply(variables, images, False)             # s8 MXU path
+
+``calibrate`` records per-conv input max|x| into a ``quant_stats`` flax
+collection (max-merged over batches); the quantized apply reads those stats
+and needs no other state — weights quantize on the fly from the same f32
+params the bf16 path uses, so checkpoints are format-identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable
+
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .factory import build_model
+
+
+def calibrate(
+    model_cfg: ModelConfig, variables: dict, batches: Iterable
+) -> dict:
+    """Run calibration forwards; returns ``variables`` + ``quant_stats``.
+
+    ``batches`` yields normalized float images (B, H, W, 3) — the same
+    tensors the bf16 forward consumes (use ``ops.augment.normalize_u8`` on
+    loader output). A handful of batches suffices for max-abs calibration.
+    """
+    if model_cfg.quant not in ("none", "calib", "int8"):
+        raise ValueError(f"unknown quant mode {model_cfg.quant!r}")
+    model_c = build_model(dataclasses.replace(model_cfg, quant="calib"))
+    n = 0
+    for images in batches:
+        _, muts = model_c.apply(
+            variables,
+            jnp.asarray(images),
+            False,
+            mutable=["quant_stats"],
+        )
+        variables = {**variables, "quant_stats": muts["quant_stats"]}
+        n += 1
+    if n == 0:
+        raise ValueError("calibrate() needs at least one batch")
+    return variables
+
+
+def quantized_model(model_cfg: ModelConfig):
+    """The generator module with its quantized convs on the int8 path."""
+    return build_model(dataclasses.replace(model_cfg, quant="int8"))

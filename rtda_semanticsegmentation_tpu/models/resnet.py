@@ -32,23 +32,26 @@ class BasicBlock(nn.Module):
     filters: int
     strides: int = 1
     dtype: Dtype = jnp.bfloat16
+    quant: str = "none"
+    quant_min_ch: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        q = dict(quant=self.quant, quant_min_ch=self.quant_min_ch)
         residual = x
         y = ConvBN(
             self.filters, (3, 3), (self.strides, self.strides),
-            dtype=self.dtype, kernel_init=he_normal_fan_out, name="conv1",
+            dtype=self.dtype, kernel_init=he_normal_fan_out, name="conv1", **q,
         )(x, train)
         y = ConvBN(
             self.filters, (3, 3), (1, 1), use_relu=False,
-            dtype=self.dtype, kernel_init=he_normal_fan_out, name="conv2",
+            dtype=self.dtype, kernel_init=he_normal_fan_out, name="conv2", **q,
         )(y, train)
         if self.strides != 1 or x.shape[-1] != self.filters:
             residual = ConvBN(
                 self.filters, (1, 1), (self.strides, self.strides),
                 padding=((0, 0), (0, 0)), use_relu=False,
-                dtype=self.dtype, kernel_init=he_normal_fan_out, name="downsample",
+                dtype=self.dtype, kernel_init=he_normal_fan_out, name="downsample", **q,
             )(x, train)
         return nn.relu(y + residual).astype(self.dtype)
 
@@ -69,9 +72,12 @@ class Bottleneck(nn.Module):
     stride_on_first: bool = False
     force_downsample: bool = False
     dtype: Dtype = jnp.bfloat16
+    quant: str = "none"
+    quant_min_ch: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        q = dict(quant=self.quant, quant_min_ch=self.quant_min_ch)
         s1 = self.strides if self.stride_on_first else 1
         s2 = 1 if self.stride_on_first else self.strides
         out_ch = self.filters * 4
@@ -79,21 +85,21 @@ class Bottleneck(nn.Module):
         residual = x
         y = ConvBN(
             self.filters, (1, 1), (s1, s1), padding=((0, 0), (0, 0)),
-            dtype=self.dtype, kernel_init=he_normal_fan_out, name="conv1",
+            dtype=self.dtype, kernel_init=he_normal_fan_out, name="conv1", **q,
         )(x, train)
         y = ConvBN(
             self.filters, (3, 3), (s2, s2), padding=((d, d), (d, d)), dilation=d,
-            dtype=self.dtype, kernel_init=he_normal_fan_out, name="conv2",
+            dtype=self.dtype, kernel_init=he_normal_fan_out, name="conv2", **q,
         )(y, train)
         y = ConvBN(
             out_ch, (1, 1), (1, 1), padding=((0, 0), (0, 0)), use_relu=False,
-            dtype=self.dtype, kernel_init=he_normal_fan_out, name="conv3",
+            dtype=self.dtype, kernel_init=he_normal_fan_out, name="conv3", **q,
         )(y, train)
         if self.strides != 1 or x.shape[-1] != out_ch or self.force_downsample:
             residual = ConvBN(
                 out_ch, (1, 1), (self.strides, self.strides),
                 padding=((0, 0), (0, 0)), use_relu=False,
-                dtype=self.dtype, kernel_init=he_normal_fan_out, name="downsample",
+                dtype=self.dtype, kernel_init=he_normal_fan_out, name="downsample", **q,
             )(x, train)
         return nn.relu(y + residual).astype(self.dtype)
 
@@ -118,6 +124,8 @@ class ResNetFeatures(nn.Module):
     deeplab_style: bool = False
     dtype: Dtype = jnp.bfloat16
     stem_phase: int = 0  # multi-phase factor for the RGB stem conv (0/1 = off)
+    quant: str = "none"  # int8 serving path (see layers.QuantConv)
+    quant_min_ch: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -152,6 +160,8 @@ class ResNetFeatures(nn.Module):
                     strides=stride if i == 0 else 1,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{i}",
+                    quant=self.quant,
+                    quant_min_ch=self.quant_min_ch,
                 )
                 if block_cls is Bottleneck:
                     kwargs.update(
@@ -175,12 +185,15 @@ class ContextPath(nn.Module):
     depth: int = 18
     dtype: Dtype = jnp.bfloat16
     stem_phase: int = 0
+    quant: str = "none"
+    quant_min_ch: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c3, c4 = ResNetFeatures(
             depth=self.depth, output_stride=32, dtype=self.dtype, name="resnet",
             stem_phase=self.stem_phase,
+            quant=self.quant, quant_min_ch=self.quant_min_ch,
         )(x, train)
         tail = global_avg_pool(c4, keepdims=True)
         return c3, c4, tail
