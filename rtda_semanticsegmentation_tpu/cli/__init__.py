@@ -11,4 +11,7 @@
   torchvision pretrained weights at build time; we convert offline).
 - ``python -m rtda_semanticsegmentation_tpu.cli.debug_dataset`` — visualize a
   sample pair (reference ``scripts/debug_{gta,cityscapes}.py``).
+- ``python -m rtda_semanticsegmentation_tpu.cli.predict`` — batch inference
+  on an image folder from a checkpoint (bf16 / int8 PTQ serving; no
+  reference counterpart).
 """

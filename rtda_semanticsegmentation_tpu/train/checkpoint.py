@@ -243,6 +243,34 @@ class CheckpointManager:
             )
         return new_state, meta
 
+    def restore_variables(self, which: str = "best") -> Optional[tuple]:
+        """Weights-only restore for inference: (variables, meta) or None.
+
+        Template-free raw restore that returns only the generator's
+        ``{'params', 'batch_stats'?}`` — serving needs no optimizer state,
+        so this works across optimizer configs and train modes (vanilla or
+        adversarial checkpoints alike). Used by ``cli/predict.py``.
+        """
+        if which not in ("latest", "best"):
+            raise ValueError(
+                f"checkpoint stream must be 'latest' or 'best', got {which!r}"
+            )
+        mgr = self._latest if which == "latest" else self._best
+        step = mgr.latest_step()
+        if step is None:
+            return None
+        raw = mgr.restore(step)
+        gen = raw["generator"]
+        variables = {"params": gen["params"]}
+        if gen.get("batch_stats"):
+            variables["batch_stats"] = gen["batch_stats"]
+        meta = {
+            "epoch": int(raw["epoch"]),
+            "best_miou": float(raw["best_miou"]),
+            "step": int(raw["step"]),
+        }
+        return variables, meta
+
     def close(self) -> None:
         self.wait()
         self._best.close()
