@@ -87,6 +87,10 @@ class DataConfig:
     adversarial_target_dataset: str = "cityscapes"
     adversarial_target_split: str = "train"
     synthetic_length: int = 64  # samples in the synthetic dataset
+    # Native C++ decode+resize fast path (data/native.py): 'auto' uses it
+    # when the library builds, 'on' requires it, 'off' forces PIL. Both
+    # paths are bit-identical (tests/test_native_data.py).
+    native_decode: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -57,13 +57,37 @@ def _decode_image(path: str) -> np.ndarray:
 
 
 class SegmentationDataset:
-    """Base: a list of (image_path, label_path) pairs + decode logic."""
+    """Base: a list of (image_path, label_path) pairs + decode logic.
+
+    Two decode paths with identical results (tests/test_native_data.py):
+    the native C++ fast path (``data/native.py`` — one GIL-released
+    decode+resize call per file, bit-exact with PIL's BILINEAR/NEAREST) and
+    the PIL fallback. ``native_decode`` is 'auto' (use when the library
+    builds), 'on' (require), or 'off'.
+    """
 
     pairs: List[Tuple[str, str]]
     size: Tuple[int, int]  # (H, W)
+    native_decode: str = "auto"
 
     def __len__(self) -> int:
         return len(self.pairs)
+
+    def _native(self):
+        """The native module if enabled and available, else None."""
+        mode = getattr(self, "native_decode", "auto")
+        if mode == "off":
+            return None
+        from . import native
+
+        if native.available():
+            return native
+        if mode == "on":
+            raise RuntimeError(
+                f"native_decode='on' but the fast path is unavailable: "
+                f"{native.unavailable_reason()}"
+            )
+        return None
 
     def _decode_label(self, path: str) -> np.ndarray:
         from PIL import Image
@@ -83,6 +107,15 @@ class SegmentationDataset:
     def load(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (uint8 HWC image, int32 HW trainId label) at ``size``."""
         img_path, label_path = self.pairs[index]
+        nat = self._native()
+        if nat is not None:
+            try:
+                return (
+                    nat.load_image(img_path, self.size),
+                    nat.load_label(label_path, self.size),
+                )
+            except OSError:
+                pass  # odd format (e.g. RGB-mode label): PIL path below
         img = _decode_image(img_path)
         label = self._decode_label(label_path)
         img, label = _resize_pair(img, label, self.size)
@@ -155,6 +188,20 @@ class GTA5Dataset(SegmentationDataset):
         if not self.convert_on_the_fly:
             return super().load(index)
         img_path, label_path = self.pairs[index]
+        nat = self._native()
+        if nat is not None:
+            from .labels import build_color_to_id_lut
+
+            try:
+                return (
+                    nat.load_image(img_path, self.size),
+                    nat.load_label(
+                        label_path, self.size,
+                        rgb_lut=build_color_to_id_lut(),
+                    ),
+                )
+            except OSError:
+                pass
         img = _decode_image(img_path)
         label = rgb_label_to_train_ids(_decode_image(label_path))
         img, label = _resize_pair(img, label, self.size)
@@ -207,15 +254,20 @@ def build_dataset(
     data_cfg,
 ) -> SegmentationDataset:
     """Dataset factory (reference ``data_loader.py:53-224`` dispatch)."""
+    native_mode = getattr(data_cfg, "native_decode", "auto")
     if name == "cityscapes":
-        return CityscapesDataset(data_cfg.cityscapes_path, split, size)
+        ds = CityscapesDataset(data_cfg.cityscapes_path, split, size)
+        ds.native_decode = native_mode
+        return ds
     if name == "gta5":
-        return GTA5Dataset(
+        ds = GTA5Dataset(
             data_cfg.gta5_path,
             data_cfg.gta5_labels_subdir,
             data_cfg.gta5_convert_on_the_fly,
             size,
         )
+        ds.native_decode = native_mode
+        return ds
     if name == "synthetic":
         return SyntheticDataset(
             length=getattr(data_cfg, "synthetic_length", 64), size=size

@@ -42,14 +42,25 @@ def _throughput(forward, variables, batch):
 
 
 def main():
+    import argparse
+    import dataclasses
+
     from rtda_semanticsegmentation_tpu.config import ExperimentConfig
     from rtda_semanticsegmentation_tpu.models.factory import build_model, init_model
     from rtda_semanticsegmentation_tpu.models.quantize import calibrate, quantized_model
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", choices=("bisenet", "deeplabv2"),
+                   default="bisenet")
+    p.add_argument("--batches", default="8,16,32,64",
+                   help="comma-separated batch sizes to sweep")
+    args = p.parse_args()
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
     cfg = ExperimentConfig()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, name=args.model))
     model = build_model(cfg.model)
     variables = init_model(model, jax.random.PRNGKey(0), (1, H, W, 3), train=False)
 
@@ -77,7 +88,7 @@ def main():
     b = jnp.argmax(jax.jit(fwd_int8)(variables, x), -1)
     print(f"argmax agreement: {float(jnp.mean(a == b)):.4f}", file=sys.stderr)
 
-    for batch in (8, 16, 32, 64):
+    for batch in (int(b) for b in args.batches.split(",")):
         r_bf = _throughput(fwd_bf16, variables, batch)
         r_q = _throughput(fwd_int8, variables, batch)
         print(

@@ -91,6 +91,29 @@ def test_bisenet_int8_matches_f32(bisenet_quant):
     assert agree > 0.95, agree
 
 
+def test_deeplabv2_int8_matches_f32():
+    """The dilated-conv (ASPP-fed) trunk also serves on the s8 path; the
+    ASPP classifier itself stays in the compute dtype by design."""
+    cfg = ModelConfig(name="deeplabv2", compute_dtype="float32")
+    model = build_model(cfg)
+    rng = np.random.RandomState(3)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, 64, 128, 3), train=False)
+    x = jnp.asarray(rng.randn(1, 64, 128, 3).astype(np.float32))
+    ref = np.asarray(model.apply(variables, x, False), np.float32)
+    cal = calibrate(cfg, variables, [x])
+    out = np.asarray(quantized_model(cfg).apply(cal, x, False), np.float32)
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    agree = (out.argmax(-1) == ref.argmax(-1)).mean()
+    assert rel < 0.1, rel
+    assert agree > 0.9, agree
+    # no quant stats recorded inside the (unquantized) ASPP head
+    paths = [
+        "/".join(str(getattr(p, "key", p)) for p in kp)
+        for kp, _ in jax.tree_util.tree_leaves_with_path(cal["quant_stats"])
+    ]
+    assert paths and not any("aspp" in p for p in paths)
+
+
 def test_quant_modes_share_param_tree(bisenet_quant):
     cfg, model, variables, x = bisenet_quant
     for mode in ("calib", "int8"):
