@@ -146,19 +146,23 @@ def _build_int8(variables):
 
     cfg = ExperimentConfig()
     rng = np.random.RandomState(7)
-    calib = [
-        (jnp.asarray(rng.randint(0, 256, (4, H, W, 3), np.uint8)) / 255.0 - 0.45)
-        / 0.225
-        for _ in range(3)
-    ]
-    variables = calibrate(cfg.model, variables, calib)
+
+    def batch():
+        return (
+            jnp.asarray(rng.randint(0, 256, (4, H, W, 3), np.uint8)) / 255.0
+            - 0.45
+        ) / 0.225
+
+    variables = calibrate(cfg.model, variables, [batch() for _ in range(3)])
     mq = quantized_model(cfg.model)
 
     @jax.jit
     def forward(variables, images):
         return mq.apply(variables, images, False)
 
-    return variables, forward, calib[0].astype(jnp.bfloat16)
+    # the agreement probe is held out: drawn AFTER the calibration batches,
+    # so calibrated activation clipping is actually exercised
+    return variables, forward, batch().astype(jnp.bfloat16)
 
 
 def main() -> None:

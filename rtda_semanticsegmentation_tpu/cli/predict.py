@@ -173,6 +173,19 @@ def main(argv=None) -> int:
 
     b = args.batch_size
     batches = [paths[i : i + b] for i in range(0, len(paths), b)]
+    decoded_cache: dict = {}  # batch index -> [(img_u8, orig_size), ...]
+
+    # unique output stems: inputs differing only by extension (a.png, a.jpg)
+    # must not clobber each other's masks
+    stems, seen = {}, {}
+    for path in paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        if stem in seen:
+            seen[stem] += 1
+            stem = f"{stem}_{seen[stem]}"
+        else:
+            seen[stem] = 0
+        stems[path] = stem
 
     apply_fn = model.apply
     if args.precision == "int8":
@@ -180,8 +193,9 @@ def main(argv=None) -> int:
 
         n_cal = max(1, min(args.calib_batches, len(batches)))
         calib = []
-        for chunk in batches[:n_cal]:
-            imgs = np.stack([decode(p)[0] for p in chunk])
+        for bi, chunk in enumerate(batches[:n_cal]):
+            decoded_cache[bi] = [decode(p) for p in chunk]
+            imgs = np.stack([d[0] for d in decoded_cache[bi]])
             calib.append(normalize_u8(jnp.asarray(imgs), cfg.augment))
         variables = calibrate(mcfg, variables, calib)
         apply_fn = quantized_model(mcfg).apply
@@ -193,15 +207,15 @@ def main(argv=None) -> int:
         return jnp.argmax(apply_fn(variables, x, False), axis=-1)
 
     written = 0
-    for chunk in batches:
-        decoded = [decode(p) for p in chunk]
+    for bi, chunk in enumerate(batches):
+        decoded = decoded_cache.pop(bi, None) or [decode(p) for p in chunk]
         imgs = np.stack([d[0] for d in decoded])
         if imgs.shape[0] < b:  # pad the tail batch: one compiled program
             pad = np.zeros((b - imgs.shape[0], h, w, 3), np.uint8)
             imgs = np.concatenate([imgs, pad])
         preds = np.asarray(forward(variables, jnp.asarray(imgs)), np.uint8)
         for (img_u8, orig), path, pred in zip(decoded, chunk, preds):
-            stem = os.path.splitext(os.path.basename(path))[0]
+            stem = stems[path]
             mask = Image.fromarray(pred, mode="L")
             color = Image.fromarray(train_ids_to_rgb(pred))
             if not args.no_resize_back and orig != (w, h):

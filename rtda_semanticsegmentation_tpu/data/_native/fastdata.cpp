@@ -79,15 +79,28 @@ int decode_png(FILE* f, Decoded& out, bool want_rgb) {
   int color = png_get_color_type(png, info);
   int depth = png_get_bit_depth(png, info);
 
-  if (depth == 16) png_set_strip_16(png);
-  if (depth < 8) png_set_packing(png);
   bool palette = color == PNG_COLOR_TYPE_PALETTE;
+  bool gray = color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA;
+  if (depth == 16) {
+    if (!want_rgb) {
+      // 16-bit label values don't fit u8; PIL reads them verbatim
+      // (mode I;16) — refuse so the caller falls back to the PIL path.
+      png_destroy_read_struct(&png, &info, nullptr);
+      return FD_ERR_UNSUPPORTED;
+    }
+    png_set_strip_16(png);
+  }
+  if (depth < 8) {
+    // bit-replicated expansion to 8-bit for gray (PIL scales 1-bit to
+    // 0/255); plain unpacking for palette (indices must stay raw)
+    if (gray)
+      png_set_expand_gray_1_2_4_to_8(png);
+    else
+      png_set_packing(png);
+  }
   if (palette && want_rgb) png_set_palette_to_rgb(png);
-  if (!palette && color == PNG_COLOR_TYPE_GRAY && want_rgb)
-    png_set_gray_to_rgb(png);
+  if (gray && want_rgb) png_set_gray_to_rgb(png);
   if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
-  if (!want_rgb && color == PNG_COLOR_TYPE_GRAY_ALPHA)
-    ;  // alpha stripped above; one channel remains
   if (png_get_valid(png, info, PNG_INFO_tRNS) && want_rgb && palette)
     png_set_strip_alpha(png);  // after palette_to_rgb expansion
 
@@ -314,13 +327,21 @@ int fd_load_image(const char* path, unsigned char* out, int out_h, int out_w) {
 }
 
 // Decode a label image, nearest-resize, write int32 trainIds into out
-// (out_h*out_w). Grayscale/palette labels pass through their raw values;
-// RGB labels are mapped through lut (256^3 u8, index r<<16|g<<8|b) — pass
-// lut = NULL to reject RGB labels instead.
+// (out_h*out_w).
+//
+// lut == NULL (pre-converted trainId labels): grayscale/palette values pass
+// through raw — numpy-on-PIL semantics for "L"/"P" images; RGB labels are
+// rejected (the caller falls back to PIL, which warns and converts).
+//
+// lut != NULL (on-the-fly RGB color labels): the file is decoded TO RGB
+// (palette and grayscale expanded, exactly like PIL convert("RGB")) and
+// every pixel mapped through lut (256^3 u8, index r<<16|g<<8|b) — so
+// palette-encoded color labels (the official GTA5 ones) map by their
+// palette COLORS, never by raw palette indices.
 int fd_load_label(const char* path, const unsigned char* lut, int* out,
                   int out_h, int out_w) {
   Decoded d;
-  int rc = decode_file(path, d, /*want_rgb=*/false);
+  int rc = decode_file(path, d, /*want_rgb=*/lut != nullptr);
   if (rc != FD_OK) return rc;
   if (d.c == 3 && !lut) return FD_ERR_RGB_LABEL_NEEDS_LUT;
   std::vector<unsigned char> resized;

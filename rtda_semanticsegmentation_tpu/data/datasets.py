@@ -75,7 +75,7 @@ class SegmentationDataset:
 
     def _native(self):
         """The native module if enabled and available, else None."""
-        mode = getattr(self, "native_decode", "auto")
+        mode = self.native_decode
         if mode == "off":
             return None
         from . import native
@@ -130,8 +130,15 @@ class SegmentationDataset:
 class CityscapesDataset(SegmentationDataset):
     """Cityscapes with pre-generated ``*_gtFine_labelTrainIds.png`` labels."""
 
-    def __init__(self, root: str, split: str, size: Tuple[int, int]):
+    def __init__(
+        self,
+        root: str,
+        split: str,
+        size: Tuple[int, int],
+        native_decode: str = "auto",
+    ):
         self.root, self.split, self.size = root, split, tuple(size)
+        self.native_decode = native_decode
         image_root = os.path.join(root, "images", split)
         if not os.path.isdir(image_root):
             raise FileNotFoundError(
@@ -163,8 +170,10 @@ class GTA5Dataset(SegmentationDataset):
         labels_subdir: str = "labels_trainids",
         convert_on_the_fly: bool = False,
         size: Tuple[int, int] = (720, 1280),
+        native_decode: str = "auto",
     ):
         self.root, self.size = root, tuple(size)
+        self.native_decode = native_decode
         self.convert_on_the_fly = convert_on_the_fly
         image_root = os.path.join(root, "images")
         label_root = os.path.join(root, labels_subdir)
@@ -256,18 +265,17 @@ def build_dataset(
     """Dataset factory (reference ``data_loader.py:53-224`` dispatch)."""
     native_mode = getattr(data_cfg, "native_decode", "auto")
     if name == "cityscapes":
-        ds = CityscapesDataset(data_cfg.cityscapes_path, split, size)
-        ds.native_decode = native_mode
-        return ds
+        return CityscapesDataset(
+            data_cfg.cityscapes_path, split, size, native_decode=native_mode
+        )
     if name == "gta5":
-        ds = GTA5Dataset(
+        return GTA5Dataset(
             data_cfg.gta5_path,
             data_cfg.gta5_labels_subdir,
             data_cfg.gta5_convert_on_the_fly,
             size,
+            native_decode=native_mode,
         )
-        ds.native_decode = native_mode
-        return ds
     if name == "synthetic":
         return SyntheticDataset(
             length=getattr(data_cfg, "synthetic_length", 64), size=size

@@ -43,8 +43,7 @@ def main() -> None:
         ).save(root / "labels_trainids" / f"{i:05d}.png")
 
     for mode in ("off", "on") if native.available() else ("off",):
-        ds = GTA5Dataset(str(root), size=DST)
-        ds.native_decode = mode
+        ds = GTA5Dataset(str(root), size=DST, native_decode=mode)
         ds.load(0)  # warm (page cache, lazy imports, .so load)
         t0 = time.perf_counter()
         for i in range(N_FILES):

@@ -82,8 +82,12 @@ def main():
     def fwd_int8(v, x):
         return mq.apply(v, x, False)
 
-    # fidelity: on-device argmax agreement on a held-out batch
-    x = calib[0].astype(jnp.bfloat16)
+    # fidelity: on-device argmax agreement on a HELD-OUT batch (drawn after
+    # the calibration set, so calibrated clipping is exercised)
+    x = (
+        (jnp.asarray(rng.randint(0, 256, (4, H, W, 3), np.uint8)) / 255.0 - 0.45)
+        / 0.225
+    ).astype(jnp.bfloat16)
     a = jnp.argmax(jax.jit(fwd_bf16)(variables, x), -1)
     b = jnp.argmax(jax.jit(fwd_int8)(variables, x), -1)
     print(f"argmax agreement: {float(jnp.mean(a == b)):.4f}", file=sys.stderr)

@@ -108,12 +108,63 @@ def test_rgba_and_16bit_inputs(tmp_path, rng):
     Image.fromarray(rgba, mode="RGBA").save(p)
     out = native.load_image(p, (12, 14))
     np.testing.assert_array_equal(out, rgba[..., :3])
-    # 16-bit grayscale label: stripped to 8 high bits (trainIds are < 256)
-    lab16 = (rng.randint(0, 19, (9, 11)) * 257).astype(np.uint16)
+    # 16-bit grayscale LABEL: values don't fit u8 — the native path refuses
+    # (rather than silently keeping high bits) so the dataset falls back to
+    # PIL, which reads the values verbatim
+    lab16 = rng.randint(0, 19, (9, 11)).astype(np.uint16)
     p16 = str(tmp_path / "lab16.png")
     Image.fromarray(lab16).save(p16)
-    out16 = native.load_label(p16, (9, 11))
-    np.testing.assert_array_equal(out16, (lab16 >> 8).astype(np.int32))
+    with pytest.raises(OSError, match="unsupported"):
+        native.load_label(p16, (9, 11))
+
+
+def test_palette_color_label_maps_through_lut(tmp_path):
+    """Palette-encoded COLOR labels (the official GTA5 encoding) must map by
+    palette color, never by raw palette index."""
+    lut = build_color_to_id_lut()
+    idx = np.zeros((10, 12), np.uint8)
+    idx[5:] = 1
+    im = Image.fromarray(idx, mode="P")
+    # palette: index 0 -> road color (trainId 0), index 1 -> sky (trainId 10)
+    pal = [0] * 768
+    pal[0:3] = [128, 64, 128]
+    pal[3:6] = [70, 130, 180]
+    im.putpalette(pal)
+    p = str(tmp_path / "pal_color.png")
+    im.save(p)
+    out = native.load_label(p, (10, 12), rgb_lut=lut)
+    expected = np.where(idx == 0, 0, 10)
+    np.testing.assert_array_equal(out, expected)
+    # PIL-path equivalence: convert("RGB") -> python LUT
+    rgb = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(out, rgb_label_to_train_ids(rgb))
+
+
+def test_gray_label_with_lut_matches_pil_convert_rgb(tmp_path, rng):
+    """On-the-fly mode on a grayscale file: expanded to RGB then LUT-mapped,
+    exactly like the PIL path's convert("RGB")."""
+    g = rng.randint(0, 256, (8, 9), np.uint8)
+    p = str(tmp_path / "gray.png")
+    Image.fromarray(g, mode="L").save(p)
+    out = native.load_label(p, (8, 9), rgb_lut=build_color_to_id_lut())
+    rgb = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(out, rgb_label_to_train_ids(rgb))
+
+
+def test_dataset_16bit_label_falls_back_to_pil(tmp_path, rng):
+    from rtda_semanticsegmentation_tpu.data.datasets import GTA5Dataset
+
+    root = tmp_path / "gta"
+    (root / "images").mkdir(parents=True)
+    (root / "labels_trainids").mkdir()
+    Image.fromarray(
+        rng.randint(0, 256, (20, 24, 3), np.uint8)
+    ).save(root / "images" / "a.png")
+    lab16 = rng.randint(0, 19, (20, 24)).astype(np.uint16)
+    Image.fromarray(lab16).save(root / "labels_trainids" / "a.png")
+    ds = GTA5Dataset(str(root), size=(20, 24), native_decode="on")
+    _, lab = ds.load(0)
+    np.testing.assert_array_equal(lab, lab16.astype(np.int32))
 
 
 def test_dataset_native_equals_pil_path(tmp_path, rng):
@@ -131,10 +182,8 @@ def test_dataset_native_equals_pil_path(tmp_path, rng):
             rng.randint(0, 19, (50, 70), np.uint8), mode="L"
         ).save(root / "labels_trainids" / f"{i:05d}.png")
 
-    ds_nat = GTA5Dataset(str(root), size=(32, 48))
-    ds_nat.native_decode = "on"
-    ds_pil = GTA5Dataset(str(root), size=(32, 48))
-    ds_pil.native_decode = "off"
+    ds_nat = GTA5Dataset(str(root), size=(32, 48), native_decode="on")
+    ds_pil = GTA5Dataset(str(root), size=(32, 48), native_decode="off")
     for i in range(2):
         img_n, lab_n = ds_nat.load(i)
         img_p, lab_p = ds_pil.load(i)
@@ -157,10 +206,8 @@ def test_dataset_on_the_fly_rgb_native_equals_pil(tmp_path, rng):
     Image.fromarray(rgb).save(root / "labels" / "a.png")
 
     kw = dict(labels_subdir="labels", convert_on_the_fly=True, size=(20, 26))
-    ds_nat = GTA5Dataset(str(root), **kw)
-    ds_nat.native_decode = "on"
-    ds_pil = GTA5Dataset(str(root), **kw)
-    ds_pil.native_decode = "off"
+    ds_nat = GTA5Dataset(str(root), native_decode="on", **kw)
+    ds_pil = GTA5Dataset(str(root), native_decode="off", **kw)
     img_n, lab_n = ds_nat.load(0)
     img_p, lab_p = ds_pil.load(0)
     np.testing.assert_array_equal(img_n, img_p)

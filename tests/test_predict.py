@@ -94,6 +94,22 @@ def test_predict_restores_trained_checkpoint(image_dir, tmp_path):
     assert (out / "a_trainids.png").exists()
 
 
+def test_predict_same_stem_inputs_do_not_clobber(tmp_path):
+    rng = np.random.RandomState(1)
+    d = tmp_path / "frames"
+    d.mkdir()
+    Image.fromarray(rng.randint(0, 256, (16, 20, 3), np.uint8)).save(d / "a.png")
+    Image.fromarray(rng.randint(0, 256, (16, 20, 3), np.uint8)).save(d / "a.jpg")
+    out = tmp_path / "masks"
+    predict_main([
+        "--images", str(d), "--output", str(out),
+        "--size", "32", "64", "--batch_size", "2", "--precision", "f32",
+    ])
+    names = sorted(os.listdir(out))
+    # two distinct trainId masks: a + a_1
+    assert "a_trainids.png" in names and "a_1_trainids.png" in names
+
+
 def test_predict_missing_checkpoint_raises(image_dir, tmp_path):
     with pytest.raises(FileNotFoundError):
         predict_main([
