@@ -70,6 +70,10 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
                    help="Validation resize override (default 512 1024).")
     p.add_argument("--no_perf", action="store_true",
                    help="Skip the end-of-run latency/FLOPs measurement.")
+    p.add_argument("--final_int8_eval", action="store_true", default=None,
+                   help="After training, evaluate the best model through "
+                        "the int8 PTQ serving path and report the mIoU "
+                        "delta vs bf16.")
 
 
 def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentConfig:
@@ -105,7 +109,8 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
     rep("train", epochs=args.epochs, batch_size=args.batch_size,
         resume_checkpoint=args.resume_checkpoint, seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
-        steps_per_epoch=args.steps_per_epoch)
+        steps_per_epoch=args.steps_per_epoch,
+        final_int8_eval=args.final_int8_eval)
     rep("augment", pipeline=args.augmentation)
     rep("loss", use_lovasz=args.use_lovasz, aux_weight=args.aux_weight)
     rep("obs", backend=args.log_backend, run_name=args.run_name,

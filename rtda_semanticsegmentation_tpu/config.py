@@ -202,6 +202,9 @@ class TrainConfig:
     remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
     #   headroom (larger batches / resolutions per chip)
     steps_per_epoch: Optional[int] = None  # None => derived from dataset length
+    # Also evaluate the best model through the int8 PTQ serving path at the
+    # end of the run and report the mIoU delta vs bf16 (models/quantize.py).
+    final_int8_eval: bool = False
 
 
 @dataclass(frozen=True)

@@ -215,7 +215,10 @@ class Trainer:
     def g_variables(self) -> dict:
         return self.state.generator.variables
 
-    def validate(self) -> Dict[str, Any]:
+    def validate(self, eval_step=None, variables=None) -> Dict[str, Any]:
+        """Full-val-set evaluation; ``eval_step``/``variables`` override the
+        default bf16 path (used by the final int8 serving fidelity pass)."""
+
         def sharded_batches():
             # Shard each eval batch over the data axis so validation runs
             # data-parallel like training (hist/loss reductions become XLA
@@ -232,8 +235,8 @@ class Trainer:
                 )
 
         return evaluate(
-            self.eval_step,
-            self.g_variables(),
+            eval_step if eval_step is not None else self.eval_step,
+            variables if variables is not None else self.g_variables(),
             lookahead(sharded_batches(), self.cfg.data.prefetch_batches),
             self.cfg.model.num_classes,
         )
@@ -420,8 +423,42 @@ def run_experiment(
         )
         report.update(perf)
 
+    if t.final_int8_eval:
+        # int8 PTQ serving fidelity on the real validation set (TPU-native
+        # addition, models/quantize.py): what mIoU does THIS trained model
+        # lose when served through the s8 MXU path?
+        try:
+            from ..models.quantize import calibrate, quantized_model
+            from ..ops.augment import normalize_u8
+
+            calib = []
+            for images, _, _ in eval_batches(
+                trainer.val_ds, cfg.data.eval_batch_size, cfg.data.num_workers
+            ):
+                calib.append(
+                    normalize_u8(jax.numpy.asarray(images), cfg.augment)
+                )
+                if len(calib) >= 2:
+                    break
+            q_vars = calibrate(cfg.model, trainer.g_variables(), calib)
+            q_step = jax.jit(
+                make_eval_step(cfg, quantized_model(cfg.model).apply)
+            )
+            q_val = trainer.validate(eval_step=q_step, variables=q_vars)
+            report["int8_miou"] = float(q_val["miou"])
+            report["int8_miou_delta"] = (
+                report["int8_miou"] - report["best_miou"]
+            )
+        except Exception as e:  # best-effort, like the reference's W&B blocks
+            say(f"int8 serving eval skipped: {e}")
+
     say("\n=== Final results ===")
     say(f"best mIoU: {report['best_miou'] * 100:.2f}%")
+    if "int8_miou" in report:
+        say(
+            f"int8 serving mIoU: {report['int8_miou'] * 100:.2f}% "
+            f"(delta {report['int8_miou_delta'] * 100:+.2f} pts vs bf16 best)"
+        )
     if measure_performance:
         say(
             f"latency: {report['mean_latency_ms']:.2f} ± "

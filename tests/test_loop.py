@@ -70,6 +70,20 @@ def test_run_experiment_end_to_end(tmp_path):
     assert "run_config" in events and "metrics" in events and "summary" in events
 
 
+def test_final_int8_eval_reports_delta(tmp_path):
+    """--final_int8_eval: the report carries the int8 serving mIoU and its
+    delta vs the bf16 best, computed on the real validation set."""
+    cfg = e2e_cfg(tmp_path, train__final_int8_eval=True)
+    report = run_experiment(
+        cfg, run_name="int8e", measure_performance=False, verbose=False
+    )
+    assert "int8_miou" in report and "int8_miou_delta" in report
+    assert np.isfinite(report["int8_miou"])
+    # in-distribution eval of the same weights: quantization moves mIoU by
+    # at most a few points even on a barely-trained model
+    assert abs(report["int8_miou_delta"]) < 0.1, report["int8_miou_delta"]
+
+
 def test_resume_continues_from_checkpoint(tmp_path):
     cfg = e2e_cfg(tmp_path, train__save_checkpoint_freq_epoch=1, train__epochs=3)
     run_experiment(cfg, run_name="first", measure_performance=False, verbose=False)
