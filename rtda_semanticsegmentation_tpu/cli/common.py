@@ -74,6 +74,9 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
                    help="After training, evaluate the best model through "
                         "the int8 PTQ serving path and report the mIoU "
                         "delta vs bf16.")
+    p.add_argument("--profile_steps", type=int,
+                   help="Capture a jax.profiler timeline trace of N warm "
+                        "train steps (written under the log dir).")
 
 
 def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentConfig:
@@ -110,7 +113,8 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
         resume_checkpoint=args.resume_checkpoint, seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         steps_per_epoch=args.steps_per_epoch,
-        final_int8_eval=args.final_int8_eval)
+        final_int8_eval=args.final_int8_eval,
+        profile_steps=args.profile_steps)
     rep("augment", pipeline=args.augmentation)
     rep("loss", use_lovasz=args.use_lovasz, aux_weight=args.aux_weight)
     rep("obs", backend=args.log_backend, run_name=args.run_name,

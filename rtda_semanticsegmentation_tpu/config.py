@@ -205,6 +205,10 @@ class TrainConfig:
     # Also evaluate the best model through the int8 PTQ serving path at the
     # end of the run and report the mIoU delta vs bf16 (models/quantize.py).
     final_int8_eval: bool = False
+    # Capture a jax.profiler timeline trace of N warm train steps (written
+    # under <obs.log_dir>/<run>/trace, view with TensorBoard / xprof; the
+    # reference has no timeline tracer — SURVEY.md section 5). 0 = off.
+    profile_steps: int = 0
 
 
 @dataclass(frozen=True)

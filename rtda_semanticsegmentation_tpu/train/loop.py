@@ -313,18 +313,49 @@ def run_experiment(
         f"steps/epoch={trainer.steps_per_epoch} max_iter={trainer.max_iter}"
     )
 
+    # --- optional timeline trace of a few warm steps (TPU-native aux:
+    # SURVEY.md section 5 notes the reference has no timeline tracer) ---
+    trace_dir = None
+    trace_skip = 3  # let compile + pipeline warm-up settle first
+    trace_stop_after = None
+    if t.profile_steps > 0 and jax.process_index() == 0:
+        import os as _os
+
+        trace_dir = _os.path.join(
+            cfg.obs.log_dir, cfg.obs.run_name or "run", "trace"
+        )
+
     # --- epoch loop (reference main.py:357-467) ---
     for epoch in range(start_epoch, t.epochs):
         t0 = time.time()
         running: Dict[str, float] = {}
         n_batches = 0
         host_step = int(state.step)
+        run_start_step = host_step if epoch == start_epoch else None
         for batch in trainer.train_batches():
+            if (
+                trace_dir is not None
+                and trace_stop_after is None
+                and run_start_step is not None
+                and host_step - run_start_step == trace_skip
+            ):
+                jax.block_until_ready(state.step)  # drain warm-up dispatches
+                jax.profiler.start_trace(trace_dir)
+                trace_stop_after = host_step + t.profile_steps
             state, metrics = trainer.train_step(
                 batch=batch, rng=trainer.aug_rng, state=state
             )
             n_batches += 1
             host_step += 1
+            if trace_stop_after is not None and host_step >= trace_stop_after:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                trace_stop_after = None
+                trace_dir_done, trace_dir = trace_dir, None
+                say(
+                    f"  profiler trace of {t.profile_steps} steps -> "
+                    f"{trace_dir_done} (view with TensorBoard)"
+                )
             # Accumulate metrics as device arrays — fetching (float()) every
             # step would force a host sync per batch and stall the dispatch
             # pipeline; scalars cross to host only at log points.
@@ -387,6 +418,9 @@ def run_experiment(
         # (reference config.py:46-58, main.py:458-467)
         if (epoch + 1) % t.save_checkpoint_freq_epoch == 0 and epoch != t.epochs - 1:
             trainer.ckpt.save_periodic(state, epoch)
+
+    if trace_stop_after is not None:  # run ended mid-trace (very short runs)
+        jax.profiler.stop_trace()
 
     trainer.ckpt.wait()
     trainer.state = state

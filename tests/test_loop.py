@@ -84,6 +84,23 @@ def test_final_int8_eval_reports_delta(tmp_path):
     assert abs(report["int8_miou_delta"]) < 0.1, report["int8_miou_delta"]
 
 
+def test_profile_steps_writes_trace(tmp_path):
+    cfg = e2e_cfg(
+        tmp_path, train__profile_steps=2, train__steps_per_epoch=6,
+        train__epochs=1,
+    )
+    run_experiment(
+        cfg, run_name="prof", measure_performance=False, verbose=False
+    )
+    trace_root = os.path.join(str(tmp_path / "logs"), "prof", "trace")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(trace_root)
+        for f in fs
+    ]
+    assert files, f"no trace files under {trace_root}"
+
+
 def test_resume_continues_from_checkpoint(tmp_path):
     cfg = e2e_cfg(tmp_path, train__save_checkpoint_freq_epoch=1, train__epochs=3)
     run_experiment(cfg, run_name="first", measure_performance=False, verbose=False)
