@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--images", required=True,
                    help="Image file, directory, or glob.")
     p.add_argument("--output", required=True, help="Output directory.")
+    p.add_argument("--artifact", default=None,
+                   help="Serve from an AOT artifact exported by cli/export "
+                        "instead of a checkpoint; model/size/precision flags "
+                        "are then read from the artifact's metadata.")
     p.add_argument("--model_name", choices=("bisenet", "deeplabv2"),
                    default="bisenet")
     p.add_argument("--bisenet_context_path", dest="context_path",
@@ -132,6 +136,9 @@ def main(argv=None) -> int:
     from ..models.factory import build_model
     from ..ops.augment import normalize_u8
 
+    if args.artifact:
+        return _predict_with_artifact(args)
+
     h, w = args.size
     dtype = {"bf16": "bfloat16", "f32": "float32", "int8": "bfloat16"}[
         args.precision
@@ -174,18 +181,7 @@ def main(argv=None) -> int:
     b = args.batch_size
     batches = [paths[i : i + b] for i in range(0, len(paths), b)]
     decoded_cache: dict = {}  # batch index -> [(img_u8, orig_size), ...]
-
-    # unique output stems: inputs differing only by extension (a.png, a.jpg)
-    # must not clobber each other's masks
-    stems, seen = {}, {}
-    for path in paths:
-        stem = os.path.splitext(os.path.basename(path))[0]
-        if stem in seen:
-            seen[stem] += 1
-            stem = f"{stem}_{seen[stem]}"
-        else:
-            seen[stem] = 0
-        stems[path] = stem
+    stems = _unique_stems(paths)
 
     apply_fn = model.apply
     if args.precision == "int8":
@@ -214,27 +210,95 @@ def main(argv=None) -> int:
             pad = np.zeros((b - imgs.shape[0], h, w, 3), np.uint8)
             imgs = np.concatenate([imgs, pad])
         preds = np.asarray(forward(variables, jnp.asarray(imgs)), np.uint8)
-        for (img_u8, orig), path, pred in zip(decoded, chunk, preds):
-            stem = stems[path]
-            mask = Image.fromarray(pred, mode="L")
-            color = Image.fromarray(train_ids_to_rgb(pred))
-            if not args.no_resize_back and orig != (w, h):
-                mask = mask.resize(orig, Image.NEAREST)
-                color = color.resize(orig, Image.NEAREST)
-            mask.save(os.path.join(args.output, f"{stem}_trainids.png"))
-            color.save(os.path.join(args.output, f"{stem}_color.png"))
-            if args.overlay:
-                base = Image.open(path).convert("RGB")
-                if args.no_resize_back:
-                    base = base.resize((w, h), Image.BILINEAR)
-                blend = (
-                    0.6 * np.asarray(base, np.float32)
-                    + 0.4 * np.asarray(color, np.float32)
-                ).astype(np.uint8)
-                Image.fromarray(blend).save(
-                    os.path.join(args.output, f"{stem}_overlay.png")
-                )
-            written += 1
+        written += _write_outputs(args, decoded, chunk, preds, stems, h, w)
+    print(f"wrote {written} prediction(s)", file=sys.stderr)
+    return 0
+
+
+def _unique_stems(paths) -> dict:
+    """Unique output stems: inputs differing only by extension (a.png,
+    a.jpg) must not clobber each other's masks."""
+    stems, seen = {}, {}
+    for path in paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        if stem in seen:
+            seen[stem] += 1
+            stem = f"{stem}_{seen[stem]}"
+        else:
+            seen[stem] = 0
+        stems[path] = stem
+    return stems
+
+
+def _write_outputs(args, decoded, chunk, preds, stems, h, w) -> int:
+    """Write trainId/color (+ optional overlay) PNGs for one batch."""
+    from PIL import Image
+
+    written = 0
+    for (img_u8, orig), path, pred in zip(decoded, chunk, preds):
+        stem = stems[path]
+        mask = Image.fromarray(pred, mode="L")
+        color = Image.fromarray(train_ids_to_rgb(pred))
+        if not args.no_resize_back and orig != (w, h):
+            mask = mask.resize(orig, Image.NEAREST)
+            color = color.resize(orig, Image.NEAREST)
+        mask.save(os.path.join(args.output, f"{stem}_trainids.png"))
+        color.save(os.path.join(args.output, f"{stem}_color.png"))
+        if args.overlay:
+            base = Image.open(path).convert("RGB")
+            if args.no_resize_back:
+                base = base.resize((w, h), Image.BILINEAR)
+            blend = (
+                0.6 * np.asarray(base, np.float32)
+                + 0.4 * np.asarray(color, np.float32)
+            ).astype(np.uint8)
+            Image.fromarray(blend).save(
+                os.path.join(args.output, f"{stem}_overlay.png")
+            )
+        written += 1
+    return written
+
+
+def _predict_with_artifact(args) -> int:
+    """Serve a folder through an AOT artifact (cli/export.py output)."""
+    from PIL import Image
+
+    from ..serving import load_artifact
+
+    fn, meta = load_artifact(args.artifact)
+    h = int(meta.get("height", args.size[0]))
+    w = int(meta.get("width", args.size[1]))
+    # A pinned-batch artifact dictates the batch size (tail batches are
+    # padded); a symbolic-batch artifact serves --batch_size directly.
+    pinned = meta.get("batch")
+    b = int(pinned) if pinned else args.batch_size
+    paths = collect_images(args.images)
+    if not paths:
+        raise FileNotFoundError(f"no images found at {args.images!r}")
+    os.makedirs(args.output, exist_ok=True)
+    print(
+        f"{len(paths)} image(s) -> {args.output} (artifact "
+        f"{meta.get('model', '?')}/{meta.get('precision', '?')}, {h}x{w}, "
+        f"batch {b}{' pinned' if pinned else ''})",
+        file=sys.stderr,
+    )
+    stems = _unique_stems(paths)
+
+    def decode(path):
+        im = Image.open(path).convert("RGB")
+        orig = im.size  # (W, H)
+        return np.asarray(im.resize((w, h), Image.BILINEAR), np.uint8), orig
+
+    written = 0
+    for i in range(0, len(paths), b):
+        chunk = paths[i : i + b]
+        decoded = [decode(p) for p in chunk]
+        imgs = np.stack([d[0] for d in decoded])
+        if pinned and imgs.shape[0] < b:
+            pad = np.zeros((b - imgs.shape[0], h, w, 3), np.uint8)
+            imgs = np.concatenate([imgs, pad])
+        preds = np.asarray(fn(imgs), np.uint8)
+        written += _write_outputs(args, decoded, chunk, preds, stems, h, w)
     print(f"wrote {written} prediction(s)", file=sys.stderr)
     return 0
 
