@@ -242,6 +242,90 @@ class Trainer:
         )
 
 
+class GracefulPreemption:
+    """SIGTERM -> finish the in-flight step, checkpoint, exit cleanly.
+
+    Preemptible/spot TPU VMs get SIGTERM with a short grace window before
+    the kill; the reference's recovery story is "restart from the last
+    periodic checkpoint by hand" (SURVEY.md section 5 — no preemption
+    handling exists). Here the epoch loop polls this guard each step and, on
+    a signal, saves the rolling 'latest' checkpoint and returns — the next
+    run resumes with ``--resume latest``, replaying the interrupted epoch
+    from its start (deterministic: the shuffle stream is keyed by
+    ``seed + epoch``).
+
+    Installs only where a handler can live (the main thread); elsewhere it
+    degrades to an inert flag. Context-managed so the previous handler is
+    restored on exit.
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._prev = None
+        self._installed = False
+
+    def __enter__(self):
+        import signal as _signal
+
+        def _handler(signum, frame):
+            self.requested = True
+
+        try:
+            self._prev = _signal.signal(_signal.SIGTERM, _handler)
+            self._installed = True
+        except ValueError:  # not the main thread of the main interpreter
+            pass
+        return self
+
+    def __exit__(self, *exc):
+        if self._installed:
+            import signal as _signal
+
+            _signal.signal(_signal.SIGTERM, self._prev)
+        return False
+
+
+def _preempted_exit(
+    trainer, logger, state, epoch: int, best_per_class, say
+) -> Dict[str, Any]:
+    """Checkpoint + clean shutdown after a preemption signal.
+
+    Saves the rolling 'latest' checkpoint with ``epoch - 1`` semantics so
+    ``--resume latest`` replays the interrupted epoch from its start (the
+    per-epoch shuffle makes the replay deterministic). Skips the final
+    report/gallery — the VM's grace window is for saving, not profiling.
+    """
+    jax.block_until_ready(state.step)
+    trainer.ckpt.save_periodic(state, epoch - 1)
+    trainer.ckpt.wait()
+    step = int(state.step)
+    say(
+        f"SIGTERM received: saved 'latest' checkpoint at step {step} "
+        f"(epoch {epoch + 1} will replay on --resume latest)"
+    )
+    report: Dict[str, Any] = {
+        "preempted": True,
+        "best_miou": float(state.best_miou),
+        "per_class_iou": (
+            np.asarray(best_per_class) if best_per_class is not None else None
+        ),
+        "epochs": epoch,
+        "global_step": step,
+    }
+    logger.summary(
+        {
+            k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in report.items()
+        }
+    )
+    logger.finish()
+    trainer.ckpt.close()
+    trainer.state = state
+    report["trainer"] = trainer
+    report["state"] = state
+    return report
+
+
 def _per_class_table(per_class_ious) -> str:
     lines = [f"{'class':<14s} IoU"]
     for cid, iou in enumerate(np.asarray(per_class_ious)):
@@ -326,98 +410,111 @@ def run_experiment(
         )
 
     # --- epoch loop (reference main.py:357-467) ---
-    for epoch in range(start_epoch, t.epochs):
-        t0 = time.time()
-        running: Dict[str, float] = {}
-        n_batches = 0
-        host_step = int(state.step)
-        run_start_step = host_step if epoch == start_epoch else None
-        for batch in trainer.train_batches():
-            if (
-                trace_dir is not None
-                and trace_stop_after is None
-                and run_start_step is not None
-                and host_step - run_start_step == trace_skip
-            ):
-                jax.block_until_ready(state.step)  # drain warm-up dispatches
-                jax.profiler.start_trace(trace_dir)
-                trace_stop_after = host_step + t.profile_steps
-            state, metrics = trainer.train_step(
-                batch=batch, rng=trainer.aug_rng, state=state
-            )
-            n_batches += 1
-            host_step += 1
-            if trace_stop_after is not None and host_step >= trace_stop_after:
-                jax.block_until_ready(metrics["loss"])
-                jax.profiler.stop_trace()
-                trace_stop_after = None
-                trace_dir_done, trace_dir = trace_dir, None
-                say(
-                    f"  profiler trace of {t.profile_steps} steps -> "
-                    f"{trace_dir_done} (view with TensorBoard)"
+    with GracefulPreemption() as preempt:
+        for epoch in range(start_epoch, t.epochs):
+            t0 = time.time()
+            running: Dict[str, float] = {}
+            n_batches = 0
+            host_step = int(state.step)
+            run_start_step = host_step if epoch == start_epoch else None
+            for batch in trainer.train_batches():
+                if (
+                    trace_dir is not None
+                    and trace_stop_after is None
+                    and run_start_step is not None
+                    and host_step - run_start_step == trace_skip
+                ):
+                    jax.block_until_ready(state.step)  # drain warm-up dispatches
+                    jax.profiler.start_trace(trace_dir)
+                    trace_stop_after = host_step + t.profile_steps
+                state, metrics = trainer.train_step(
+                    batch=batch, rng=trainer.aug_rng, state=state
                 )
-            # Accumulate metrics as device arrays — fetching (float()) every
-            # step would force a host sync per batch and stall the dispatch
-            # pipeline; scalars cross to host only at log points.
-            for k, v in metrics.items():
-                running[k] = running.get(k, 0.0) + v
-            if host_step % t.print_freq_batch == 0:
-                host = {f"train/{k}": float(v) for k, v in metrics.items()}
-                logger.log(host, host_step)
-        epoch_means = {
-            k: float(v) / max(n_batches, 1) for k, v in running.items()
-        }
-        say(
-            f"epoch {epoch + 1}/{t.epochs} "
-            + " ".join(f"{k}={v:.4f}" for k, v in sorted(epoch_means.items()))
-            + f" ({time.time() - t0:.1f}s)"
-        )
-        logger.log(
-            {f"train_epoch/{k}": v for k, v in epoch_means.items()},
-            int(state.step),
-        )
-
-        # --- validation (reference main.py:414-426) ---
-        if (epoch + 1) % t.validate_freq_epoch == 0 or epoch == t.epochs - 1:
-            trainer.state = state  # evaluate with current params
-            val = trainer.validate()
-            logger.log_validation(
-                val["miou"], val["loss"], val["per_class_iou"], int(state.step)
-            )
+                n_batches += 1
+                host_step += 1
+                if trace_stop_after is not None and host_step >= trace_stop_after:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    trace_stop_after = None
+                    trace_dir_done, trace_dir = trace_dir, None
+                    say(
+                        f"  profiler trace of {t.profile_steps} steps -> "
+                        f"{trace_dir_done} (view with TensorBoard)"
+                    )
+                # Accumulate metrics as device arrays — fetching (float())
+                # every step would force a host sync per batch and stall the
+                # dispatch pipeline; scalars cross to host at log points.
+                for k, v in metrics.items():
+                    running[k] = running.get(k, 0.0) + v
+                if host_step % t.print_freq_batch == 0:
+                    host = {f"train/{k}": float(v) for k, v in metrics.items()}
+                    logger.log(host, host_step)
+                if preempt.requested:
+                    break
+            if preempt.requested:
+                if trace_stop_after is not None:
+                    jax.profiler.stop_trace()
+                    trace_stop_after = None
+                return _preempted_exit(
+                    trainer, logger, state, epoch, best_per_class, say
+                )
+            epoch_means = {
+                k: float(v) / max(n_batches, 1) for k, v in running.items()
+            }
             say(
-                f"  val mIoU={val['miou']:.4f} loss={val['loss']:.4f} "
-                f"({int(val['num_images'])} images)"
-            )
-            # periodic mask-overlay image (reference validation.py:113-127:
-            # first val sample every LOG_IMAGES_FREQ epochs)
-            if (epoch + 1) % t.log_images_freq_epoch == 0 and len(trainer.val_ds):
-                try:
-                    img_u8, label = trainer.val_ds.load(0)
-                    trainer.state = state
-                    pred = np.asarray(
-                        trainer.predict(
-                            trainer.g_variables(),
-                            jax.numpy.asarray(img_u8)[None],
-                        )[0]
-                    )
-                    logger.log_segmentation_images(
-                        img_u8, label, pred, int(state.step)
-                    )
-                except Exception as e:
-                    say(f"validation image logging skipped: {e}")
-
-            if val["miou"] > float(state.best_miou):
-                state = state.replace(
-                    best_miou=jax.numpy.float32(val["miou"])
+                f"epoch {epoch + 1}/{t.epochs} "
+                + " ".join(
+                    f"{k}={v:.4f}" for k, v in sorted(epoch_means.items())
                 )
-                best_per_class = val["per_class_iou"]
-                trainer.ckpt.save_best(state, epoch, best_per_class)
-                say(f"  new best mIoU {val['miou']:.4f} -> checkpoint saved")
+                + f" ({time.time() - t0:.1f}s)"
+            )
+            logger.log(
+                {f"train_epoch/{k}": v for k, v in epoch_means.items()},
+                int(state.step),
+            )
 
-        # periodic checkpoint, skipped on the final epoch
-        # (reference config.py:46-58, main.py:458-467)
-        if (epoch + 1) % t.save_checkpoint_freq_epoch == 0 and epoch != t.epochs - 1:
-            trainer.ckpt.save_periodic(state, epoch)
+            # --- validation (reference main.py:414-426) ---
+            if (epoch + 1) % t.validate_freq_epoch == 0 or epoch == t.epochs - 1:
+                trainer.state = state  # evaluate with current params
+                val = trainer.validate()
+                logger.log_validation(
+                    val["miou"], val["loss"], val["per_class_iou"],
+                    int(state.step),
+                )
+                say(
+                    f"  val mIoU={val['miou']:.4f} loss={val['loss']:.4f} "
+                    f"({int(val['num_images'])} images)"
+                )
+                # periodic mask-overlay image (reference validation.py:113-127:
+                # first val sample every LOG_IMAGES_FREQ epochs)
+                if (epoch + 1) % t.log_images_freq_epoch == 0 and len(trainer.val_ds):
+                    try:
+                        img_u8, label = trainer.val_ds.load(0)
+                        trainer.state = state
+                        pred = np.asarray(
+                            trainer.predict(
+                                trainer.g_variables(),
+                                jax.numpy.asarray(img_u8)[None],
+                            )[0]
+                        )
+                        logger.log_segmentation_images(
+                            img_u8, label, pred, int(state.step)
+                        )
+                    except Exception as e:
+                        say(f"validation image logging skipped: {e}")
+
+                if val["miou"] > float(state.best_miou):
+                    state = state.replace(
+                        best_miou=jax.numpy.float32(val["miou"])
+                    )
+                    best_per_class = val["per_class_iou"]
+                    trainer.ckpt.save_best(state, epoch, best_per_class)
+                    say(f"  new best mIoU {val['miou']:.4f} -> checkpoint saved")
+
+            # periodic checkpoint, skipped on the final epoch
+            # (reference config.py:46-58, main.py:458-467)
+            if (epoch + 1) % t.save_checkpoint_freq_epoch == 0 and epoch != t.epochs - 1:
+                trainer.ckpt.save_periodic(state, epoch)
 
     if trace_stop_after is not None:  # run ended mid-trace (very short runs)
         jax.profiler.stop_trace()
