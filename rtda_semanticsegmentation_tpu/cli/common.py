@@ -77,6 +77,20 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
     p.add_argument("--profile_steps", type=int,
                    help="Capture a jax.profiler timeline trace of N warm "
                         "train steps (written under the log dir).")
+    p.add_argument("--validate_freq_epoch", type=int,
+                   help="Validate every N epochs (reference "
+                        "VALIDATE_FREQ_EPOCH, config.py:107; default 1).")
+    p.add_argument("--save_checkpoint_freq_epoch", type=int,
+                   help="Overwrite the periodic checkpoint every N epochs "
+                        "(reference SAVE_CHECKPOINT_FREQ_EPOCH, "
+                        "config.py:58; default 5).")
+    p.add_argument("--log_images_freq_epoch", type=int,
+                   help="Log a validation mask overlay every N epochs "
+                        "(reference WANDB_LOG_IMAGES_FREQ_EPOCH, "
+                        "config.py:108; default 10).")
+    p.add_argument("--print_freq_batch", type=int,
+                   help="Log train scalars every N batches (reference "
+                        "PRINT_FREQ_BATCH, config.py:106; default 100).")
 
 
 def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentConfig:
@@ -114,7 +128,11 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
         checkpoint_dir=args.checkpoint_dir,
         steps_per_epoch=args.steps_per_epoch,
         final_int8_eval=args.final_int8_eval,
-        profile_steps=args.profile_steps)
+        profile_steps=args.profile_steps,
+        validate_freq_epoch=args.validate_freq_epoch,
+        save_checkpoint_freq_epoch=args.save_checkpoint_freq_epoch,
+        log_images_freq_epoch=args.log_images_freq_epoch,
+        print_freq_batch=args.print_freq_batch)
     rep("augment", pipeline=args.augmentation)
     rep("loss", use_lovasz=args.use_lovasz, aux_weight=args.aux_weight)
     rep("obs", backend=args.log_backend, run_name=args.run_name,

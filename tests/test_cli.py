@@ -88,3 +88,22 @@ def test_debug_dataset_cli(tmp_path):
 
     panel = np.asarray(Image.open(out))
     assert panel.shape == (32, 48 * 3, 3)
+
+
+def test_loop_frequency_flags():
+    """The reference's loop-frequency knobs (config.py:58,106-108) are
+    CLI-overridable here."""
+    cfg = parse([
+        "--validate_freq_epoch", "3", "--save_checkpoint_freq_epoch", "7",
+        "--log_images_freq_epoch", "4", "--print_freq_batch", "25",
+    ])
+    assert cfg.train.validate_freq_epoch == 3
+    assert cfg.train.save_checkpoint_freq_epoch == 7
+    assert cfg.train.log_images_freq_epoch == 4
+    assert cfg.train.print_freq_batch == 25
+    # defaults preserved when not passed
+    cfg = parse([])
+    assert cfg.train.validate_freq_epoch == 1
+    assert cfg.train.save_checkpoint_freq_epoch == 5
+    assert cfg.train.log_images_freq_epoch == 10
+    assert cfg.train.print_freq_batch == 100
