@@ -22,7 +22,7 @@ import sys
 import numpy as np
 
 from ..config import ExperimentConfig, ModelConfig
-from .predict import _load_variables, collect_images
+from .predict import _load_variables, collect_images, decode_resize
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -68,7 +68,6 @@ def main(argv=None) -> int:
     import dataclasses
 
     import jax.numpy as jnp
-    from PIL import Image
 
     from ..ops.augment import normalize_u8
     from ..serving import export_serving, save_artifact
@@ -115,15 +114,7 @@ def main(argv=None) -> int:
         calib = []
         for i in range(0, len(paths), bs):
             imgs = np.stack(
-                [
-                    np.asarray(
-                        Image.open(p).convert("RGB").resize(
-                            (w, h), Image.BILINEAR
-                        ),
-                        np.uint8,
-                    )
-                    for p in paths[i : i + bs]
-                ]
+                [decode_resize(p, w, h)[0] for p in paths[i : i + bs]]
             )
             calib.append(normalize_u8(jnp.asarray(imgs), cfg.augment))
         variables = calibrate(mcfg, variables, calib)

@@ -48,6 +48,18 @@ def collect_images(path: str) -> list:
     return matches
 
 
+def decode_resize(path: str, w: int, h: int):
+    """PIL decode -> RGB -> bilinear resize to (w, h).
+
+    Returns ``(uint8 HWC array, original (W, H))``. The single decode used
+    by serving, artifact serving, and int8 calibration (cli/export.py)."""
+    from PIL import Image
+
+    im = Image.open(path).convert("RGB")
+    orig = im.size  # (W, H)
+    return np.asarray(im.resize((w, h), Image.BILINEAR), np.uint8), orig
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--images", required=True,
@@ -174,9 +186,7 @@ def main(argv=None) -> int:
     variables = _load_variables(args, cfg, model, h, w)
 
     def decode(path):
-        im = Image.open(path).convert("RGB")
-        orig = im.size  # (W, H)
-        return np.asarray(im.resize((w, h), Image.BILINEAR), np.uint8), orig
+        return decode_resize(path, w, h)
 
     b = args.batch_size
     batches = [paths[i : i + b] for i in range(0, len(paths), b)]
@@ -284,15 +294,10 @@ def _predict_with_artifact(args) -> int:
     )
     stems = _unique_stems(paths)
 
-    def decode(path):
-        im = Image.open(path).convert("RGB")
-        orig = im.size  # (W, H)
-        return np.asarray(im.resize((w, h), Image.BILINEAR), np.uint8), orig
-
     written = 0
     for i in range(0, len(paths), b):
         chunk = paths[i : i + b]
-        decoded = [decode(p) for p in chunk]
+        decoded = [decode_resize(p, w, h) for p in chunk]
         imgs = np.stack([d[0] for d in decoded])
         if pinned and imgs.shape[0] < b:
             pad = np.zeros((b - imgs.shape[0], h, w, 3), np.uint8)

@@ -395,17 +395,19 @@ def _binned_bwd(ignore_index, classes, bins, pmesh, data_axis, res, g):
         valid = jnp.ones_like(labels2, dtype=bool)
     validf = valid.astype(jnp.float32)
     scale = jnp.where(present_cnt > 0, g / jnp.maximum(present_cnt, 1.0), 0.0)
-    if jax.default_backend() == "tpu":
+    if _use_pallas()[0]:
         # Fused Pallas backward: per-chunk bilinear radix lookup + chain,
-        # no (k?, P) HBM intermediates (pallas_lovasz.lovasz_radix_bwd).
-        from .pallas_lovasz import lovasz_radix_bwd
-
-        cols = lovasz_radix_bwd(
+        # no (k?, P) HBM intermediates (pallas_lovasz.lovasz_radix_bwd) —
+        # per data shard under shard_map on multi-chip meshes (_bwd_pallas),
+        # interpret mode off-TPU.
+        cols = _bwd_pallas(
             probas_t,
             labels2,
             coef_table * scale,
             bins,
             ignore_index if ignore_index is not None else -1,
+            pmesh,
+            data_axis,
         )
         dprobas = cols.T.reshape(shape).astype(probas.dtype)
         return dprobas, jnp.zeros(labels.shape, dtype=jax.dtypes.float0)

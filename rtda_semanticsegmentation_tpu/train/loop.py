@@ -281,7 +281,10 @@ class GracefulPreemption:
         if self._installed:
             import signal as _signal
 
-            _signal.signal(_signal.SIGTERM, self._prev)
+            # signal.signal() returns None when the previous handler was
+            # installed from C (e.g. by an embedding launcher) — restoring
+            # None raises TypeError, so fall back to the default action.
+            _signal.signal(_signal.SIGTERM, self._prev or _signal.SIG_DFL)
         return False
 
 
@@ -410,19 +413,18 @@ def run_experiment(
         )
 
     # --- epoch loop (reference main.py:357-467) ---
+    run_start_step = int(state.step)
     with GracefulPreemption() as preempt:
         for epoch in range(start_epoch, t.epochs):
             t0 = time.time()
             running: Dict[str, float] = {}
             n_batches = 0
             host_step = int(state.step)
-            run_start_step = host_step if epoch == start_epoch else None
             for batch in trainer.train_batches():
                 if (
                     trace_dir is not None
                     and trace_stop_after is None
-                    and run_start_step is not None
-                    and host_step - run_start_step == trace_skip
+                    and host_step - run_start_step >= trace_skip
                 ):
                     jax.block_until_ready(state.step)  # drain warm-up dispatches
                     jax.profiler.start_trace(trace_dir)
@@ -518,6 +520,12 @@ def run_experiment(
 
     if trace_stop_after is not None:  # run ended mid-trace (very short runs)
         jax.profiler.stop_trace()
+    elif trace_dir is not None:  # requested but the run was too short to start
+        say(
+            f"profiler trace NOT captured: the run ended before "
+            f"{trace_skip} warm-up steps completed (total steps this run: "
+            f"{int(state.step) - run_start_step})"
+        )
 
     trainer.ckpt.wait()
     trainer.state = state
