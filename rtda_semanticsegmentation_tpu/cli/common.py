@@ -28,8 +28,10 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
     p.add_argument("--epochs", type=int)
     p.add_argument("--batch_size", type=int)
     p.add_argument("--resume_checkpoint", type=str,
-                   help="'latest', 'best' (restores from the run's checkpoint "
-                        "dir) — reference --resume_checkpoint path semantics.")
+                   help="'latest' or 'best' restores from this run's "
+                        "checkpoint dir; any other value is a PATH to a run "
+                        "root (or one stream's Orbax root) to warm-start "
+                        "from — reference --resume_checkpoint semantics.")
     p.add_argument("--cityscapes_dataset_path", "--cityscapes_path",
                    dest="cityscapes_path", type=str)
     p.add_argument("--gta5_dataset_path", "--gta5_path",

@@ -207,6 +207,37 @@ class CheckpointManager:
         restored = self._restore(mgr, state)
         if restored is None:
             return None
+        return self._apply_restored(state, restored)
+
+    def restore_from_path(self, state: TrainState, path: str) -> Optional[tuple]:
+        """Resume from an explicit checkpoint location on disk.
+
+        Reference ``RESUME_CHECKPOINT_PATH`` semantics (``config.py:54-56``:
+        any path, not just this run's directory) for warm-starting from
+        another run. ``path`` may be a run root as written by training
+        (containing ``<best>/``/``<latest>`` stream directories — 'latest'
+        preferred) or one stream's Orbax root directly. Returns
+        ``(state, meta)`` or None if nothing restorable exists there.
+        """
+        candidates = []
+        for stream in (self._streams["latest"], self._streams["best"]):
+            p = os.path.join(path, stream)
+            if os.path.isdir(p):
+                candidates.append(p)
+        if not candidates and os.path.isdir(path):
+            candidates = [path]
+        opts = ocp.CheckpointManagerOptions(max_to_keep=1, create=False)
+        for root in candidates:
+            mgr = ocp.CheckpointManager(os.path.abspath(root), options=opts)
+            try:
+                restored = self._restore(mgr, state)
+            finally:
+                mgr.close()
+            if restored is not None:
+                return self._apply_restored(state, restored)
+        return None
+
+    def _apply_restored(self, state: TrainState, restored) -> tuple:
         g = state.generator.replace(
             params=restored["generator"]["params"],
             batch_stats=restored["generator"]["batch_stats"],

@@ -362,22 +362,29 @@ def run_experiment(
 
     # --- resume (reference main.py:321-349) ---
     if t.resume_checkpoint:
-        out = trainer.ckpt.restore_into(state, t.resume_checkpoint)
-        if out is None:
-            # A short run may have written only the other stream (periodic
-            # saves skip the final epoch and fire every N epochs) — fall
-            # back rather than silently restarting.
-            other = "best" if t.resume_checkpoint == "latest" else "latest"
-            out = trainer.ckpt.restore_into(state, other)
-            if out is not None:
-                say(
-                    f"no '{t.resume_checkpoint}' checkpoint under "
-                    f"{trainer.ckpt.root}; resuming from '{other}' instead"
-                )
+        if t.resume_checkpoint in ("latest", "best"):
+            out = trainer.ckpt.restore_into(state, t.resume_checkpoint)
+            if out is None:
+                # A short run may have written only the other stream
+                # (periodic saves skip the final epoch and fire every N
+                # epochs) — fall back rather than silently restarting.
+                other = "best" if t.resume_checkpoint == "latest" else "latest"
+                out = trainer.ckpt.restore_into(state, other)
+                if out is not None:
+                    say(
+                        f"no '{t.resume_checkpoint}' checkpoint under "
+                        f"{trainer.ckpt.root}; resuming from '{other}' instead"
+                    )
+            where = trainer.ckpt.root
+        else:
+            # Explicit path: reference RESUME_CHECKPOINT_PATH semantics
+            # (config.py:54-56) — warm-start from any run's checkpoints.
+            out = trainer.ckpt.restore_from_path(state, t.resume_checkpoint)
+            where = t.resume_checkpoint
         if out is None:
             say(
                 f"resume requested ({t.resume_checkpoint}) but no checkpoint "
-                f"found under {trainer.ckpt.root}; starting fresh"
+                f"found under {where}; starting fresh"
             )
         else:
             state, meta = out

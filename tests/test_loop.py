@@ -228,3 +228,49 @@ def test_preemption_checkpoints_and_resume_replays_epoch(tmp_path):
     )
     assert not report2.get("preempted")
     assert report2["global_step"] == step_at_preempt + 3
+
+
+def test_resume_from_explicit_path(tmp_path):
+    """--resume_checkpoint <path> warm-starts from another run's checkpoints
+    (reference RESUME_CHECKPOINT_PATH, config.py:54-56)."""
+    cfg = e2e_cfg(tmp_path, train__save_checkpoint_freq_epoch=1, train__epochs=3)
+    run_experiment(cfg, run_name="donor", measure_performance=False, verbose=False)
+    donor_root = str(tmp_path / "ckpt" / "donor")
+
+    # run-root path: 'latest' stream preferred (saved at epoch idx 1, step 6)
+    cfg2 = e2e_cfg(
+        tmp_path,
+        train__epochs=3,
+        train__resume_checkpoint=donor_root,
+        train__checkpoint_dir=str(tmp_path / "ckpt_b"),
+    )
+    report = run_experiment(
+        cfg2, run_name="warm_root", measure_performance=False, verbose=False
+    )
+    # resumed at epoch 2 with 6 banked steps -> one more epoch of 3
+    assert report["global_step"] == 9
+
+    # direct stream-dir path (the best stream's Orbax root)
+    cfg3 = e2e_cfg(
+        tmp_path,
+        train__epochs=3,
+        train__resume_checkpoint=os.path.join(donor_root, "best_miou"),
+        train__checkpoint_dir=str(tmp_path / "ckpt_c"),
+    )
+    report3 = run_experiment(
+        cfg3, run_name="warm_stream", measure_performance=False, verbose=False
+    )
+    # best saved at epoch e (step 3(e+1)); resume trains the remaining
+    # epochs: 3(e+1) + 3*(2-e) = 9 for any e
+    assert report3["global_step"] == 9
+
+    # nonexistent path: warn + start fresh
+    cfg4 = e2e_cfg(
+        tmp_path,
+        train__resume_checkpoint=str(tmp_path / "nope"),
+        train__checkpoint_dir=str(tmp_path / "ckpt_d"),
+    )
+    report4 = run_experiment(
+        cfg4, run_name="fresh", measure_performance=False, verbose=False
+    )
+    assert report4["global_step"] == 6  # 2 epochs x 3 from scratch
