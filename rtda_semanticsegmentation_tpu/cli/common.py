@@ -58,6 +58,12 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
     p.add_argument("--log_backend", choices=("auto", "wandb", "jsonl", "null"))
     p.add_argument("--log_dir", type=str,
                    help="Directory for jsonl logs / image panels (default ./logs).")
+    p.add_argument("--watch_freq_steps", type=int, default=None,
+                   help="Log per-module gradient/parameter norms every N "
+                        "steps (reference wandb.watch; 0 = off, default).")
+    p.add_argument("--upload_checkpoints", action="store_true", default=None,
+                   help="Mirror saved checkpoints to the W&B run "
+                        "(reference wandb.save policy='live').")
     p.add_argument("--mesh_data", type=int,
                    help="Data-parallel axis size (-1 = all devices).")
     p.add_argument("--mesh_model", type=int,
@@ -138,6 +144,7 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
     rep("augment", pipeline=args.augmentation)
     rep("loss", use_lovasz=args.use_lovasz, aux_weight=args.aux_weight)
     rep("obs", backend=args.log_backend, run_name=args.run_name,
-        log_dir=args.log_dir)
+        log_dir=args.log_dir, watch_freq_steps=args.watch_freq_steps,
+        upload_checkpoints=args.upload_checkpoints)
     rep("mesh", data=args.mesh_data, model=args.mesh_model)
     return cfg

@@ -220,6 +220,18 @@ class ObservabilityConfig:
     entity: str = "RTDA-SemSeg"
     run_name: Optional[str] = None
     log_dir: str = "./logs"
+    # Per-module gradient/parameter L2 norms every N steps — the TPU-native
+    # counterpart of the reference's ``wandb.watch(model, log="all")``
+    # (``main.py:351-352``; wandb's default log_freq is 1000). The norms are
+    # computed inside the jitted step (cheap fused reductions; no host
+    # transfer until a log point). 0 = off (the step program stays minimal;
+    # the global ``grad_norm`` scalar is always logged regardless).
+    watch_freq_steps: int = 0
+    # Mirror saved checkpoints to the W&B run (reference
+    # ``utils.py:404-410`` ``wandb.save(policy="live")``). Off by default:
+    # Orbax checkpoints are directories and this environment is zero-egress;
+    # no-op on the jsonl/null backends.
+    upload_checkpoints: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -184,6 +184,29 @@ class MetricLogger:
             Image.fromarray(panel.astype(np.uint8)).save(path)
             self._emit({"event": "image", "step": int(step), "path": path})
 
+    def save_dir(self, path: str) -> None:
+        """Mirror a checkpoint directory to the W&B run (reference
+        ``utils.py:404-410`` ``wandb.save(..., policy="live")``).
+
+        Orbax checkpoints are directories, so every file under ``path`` is
+        registered with its relative structure preserved. No-op on the
+        jsonl/null backends (a jsonl 'artifact' event records the path so
+        offline runs still have the audit trail)."""
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                base = os.path.dirname(os.path.abspath(path))
+                wandb.save(
+                    os.path.join(os.path.abspath(path), "**"),
+                    base_path=base,
+                    policy="live",
+                )
+                return
+            except Exception:
+                pass
+        self._emit({"event": "artifact", "path": os.path.abspath(path)})
+
     def summary(self, data: Dict[str, Any]) -> None:
         """End-of-run summary (reference ``main.py:570-592``)."""
         if self._wandb is not None:

@@ -129,6 +129,14 @@ class CheckpointManager:
             os.path.join(self.root, self._streams["latest"]), options=opts
         )
 
+    @property
+    def best_dir(self) -> str:
+        return os.path.join(self.root, self._streams["best"])
+
+    @property
+    def latest_dir(self) -> str:
+        return os.path.join(self.root, self._streams["latest"])
+
     # -- save ---------------------------------------------------------------
 
     def save_best(self, state: TrainState, epoch: int, per_class_ious) -> None:

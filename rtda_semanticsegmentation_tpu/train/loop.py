@@ -453,11 +453,28 @@ def run_experiment(
                 # Accumulate metrics as device arrays — fetching (float())
                 # every step would force a host sync per batch and stall the
                 # dispatch pipeline; scalars cross to host at log points.
+                # watch/* keys (per-module norms, reference wandb.watch) are
+                # routed to their own log cadence, not the running means.
                 for k, v in metrics.items():
-                    running[k] = running.get(k, 0.0) + v
+                    if not k.startswith("watch/"):
+                        running[k] = running.get(k, 0.0) + v
                 if host_step % t.print_freq_batch == 0:
-                    host = {f"train/{k}": float(v) for k, v in metrics.items()}
+                    host = {
+                        f"train/{k}": float(v)
+                        for k, v in metrics.items()
+                        if not k.startswith("watch/")
+                    }
                     logger.log(host, host_step)
+                watch_freq = cfg.obs.watch_freq_steps
+                if watch_freq > 0 and host_step % watch_freq == 0:
+                    logger.log(
+                        {
+                            k: float(v)
+                            for k, v in metrics.items()
+                            if k.startswith("watch/")
+                        },
+                        host_step,
+                    )
                 if preempt.requested:
                     break
             if preempt.requested:
@@ -519,11 +536,17 @@ def run_experiment(
                     best_per_class = val["per_class_iou"]
                     trainer.ckpt.save_best(state, epoch, best_per_class)
                     say(f"  new best mIoU {val['miou']:.4f} -> checkpoint saved")
+                    if cfg.obs.upload_checkpoints:
+                        trainer.ckpt.wait()
+                        logger.save_dir(trainer.ckpt.best_dir)
 
             # periodic checkpoint, skipped on the final epoch
             # (reference config.py:46-58, main.py:458-467)
             if (epoch + 1) % t.save_checkpoint_freq_epoch == 0 and epoch != t.epochs - 1:
                 trainer.ckpt.save_periodic(state, epoch)
+                if cfg.obs.upload_checkpoints:
+                    trainer.ckpt.wait()
+                    logger.save_dir(trainer.ckpt.latest_dir)
 
     if trace_stop_after is not None:  # run ended mid-trace (very short runs)
         jax.profiler.stop_trace()

@@ -52,6 +52,24 @@ REAL_LABEL = 1.0  # source domain (reference train.py:188-189)
 FAKE_LABEL = 0.0  # target domain
 
 
+def _watch_norms(params, grads, tag: str) -> Metrics:
+    """Per-top-level-module L2 norms of parameters and gradients.
+
+    TPU-native counterpart of the reference's ``wandb.watch(model,
+    log="all")`` gradient/parameter tracking (``main.py:351-352``): instead
+    of host-side histograms, fused on-device reductions per module (e.g.
+    ``watch/g/spatial_path/grad_norm``), surfaced at
+    ``obs.watch_freq_steps``. Keys are prefixed ``watch/`` so the loop can
+    route them separately from the running train metrics.
+    """
+    out: Metrics = {}
+    for mod, sub in params.items():
+        out[f"watch/{tag}/{mod}/param_norm"] = optax.global_norm(sub)
+    for mod, sub in grads.items():
+        out[f"watch/{tag}/{mod}/grad_norm"] = optax.global_norm(sub)
+    return out
+
+
 def _apply_train(mstate: ModelState, params, batch_stats, x, remat: bool = False):
     """Train-mode forward; returns ((logits, aux1, aux2), new batch_stats).
 
@@ -184,6 +202,8 @@ def make_train_step(
             "grad_norm": optax.global_norm(grads),
             **parts,
         }
+        if cfg.obs.watch_freq_steps > 0:
+            metrics.update(_watch_norms(new_g.params, grads, "g"))
         new_state = state.replace(generator=new_g, step=state.step + 1)
         return new_state, metrics
 
@@ -278,6 +298,9 @@ def make_train_step(
             "grad_norm_d": optax.global_norm(d_grads),
             **parts,
         }
+        if cfg.obs.watch_freq_steps > 0:
+            metrics.update(_watch_norms(new_g.params, g_grads, "g"))
+            metrics.update(_watch_norms(new_d.params, d_grads, "d"))
         new_state = state.replace(
             generator=new_g, discriminator=new_d, step=state.step + 1
         )

@@ -274,3 +274,42 @@ def test_resume_from_explicit_path(tmp_path):
         cfg4, run_name="fresh", measure_performance=False, verbose=False
     )
     assert report4["global_step"] == 6  # 2 epochs x 3 from scratch
+
+
+def test_watch_and_checkpoint_upload_events(tmp_path):
+    """watch_freq_steps emits watch/* metric events at the right cadence and
+    upload_checkpoints emits artifact events (jsonl stand-in for
+    wandb.save, reference utils.py:404-410)."""
+    cfg = e2e_cfg(
+        tmp_path,
+        train__epochs=3,
+        train__save_checkpoint_freq_epoch=1,
+        obs__watch_freq_steps=2,
+        obs__upload_checkpoints=True,
+    )
+    run_experiment(cfg, run_name="watched", measure_performance=False, verbose=False)
+    events = [json.loads(l) for l in open(tmp_path / "logs" / "watched.jsonl")]
+    watch = [
+        e for e in events
+        if e["event"] == "metrics"
+        and any(k.startswith("watch/") for k in e)
+    ]
+    assert watch, "no watch events logged"
+    for e in watch:
+        assert e["step"] % 2 == 0
+        # watch events carry only watch keys (+step/ts bookkeeping)
+        assert all(
+            k.startswith("watch/") or k in ("event", "step", "ts") for k in e
+        )
+        assert any(k.endswith("/grad_norm") for k in e)
+    # train metric events never carry watch keys
+    for e in events:
+        if e["event"] == "metrics" and "train/loss" in e:
+            assert not any(k.startswith("watch/") for k in e)
+    arts = [e for e in events if e["event"] == "artifact"]
+    assert arts, "no artifact events for uploaded checkpoints"
+    for e in arts:
+        assert os.path.isdir(e["path"])
+    # both streams mirrored: best (epoch improvements) + periodic latest
+    assert any(p["path"].endswith("best_miou") for p in arts)
+    assert any(p["path"].endswith("latest") for p in arts)

@@ -396,3 +396,48 @@ def test_dp_tp_mesh_matches_single_device():
     np.testing.assert_allclose(
         float(m_tp["loss"]), float(m_single["loss"]), rtol=2e-5
     )
+
+
+def test_watch_norms_per_module(vanilla_setup):
+    """obs.watch_freq_steps > 0 adds per-top-level-module grad/param norms
+    (TPU-native wandb.watch counterpart, reference main.py:351-352)."""
+    cfg, _, state = vanilla_setup
+    assert not any(k.startswith("watch/") for k in _run_one(cfg, state))
+
+    wcfg = tiny_config(
+        augment__pipeline="no_new_aug", obs__watch_freq_steps=100
+    )
+    m = _run_one(wcfg, fresh(state))
+    mods = set(state.generator.params)
+    got_grad = {k.split("/")[2] for k in m if k.endswith("/grad_norm") and k.startswith("watch/g/")}
+    got_param = {k.split("/")[2] for k in m if k.endswith("/param_norm") and k.startswith("watch/g/")}
+    assert got_grad == mods and got_param == mods
+    for k in m:
+        if k.startswith("watch/"):
+            assert np.isfinite(float(m[k])) and float(m[k]) >= 0, k
+    # param norms are of the post-update params: nonzero for every module
+    assert all(float(m[f"watch/g/{mod}/param_norm"]) > 0 for mod in mods)
+
+
+def _run_one(cfg, state):
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    step = jax.jit(make_train_step(cfg, g_sched))
+    _, m = step(state, make_batch(), jax.random.PRNGKey(0))
+    return m
+
+
+def test_watch_norms_adversarial_covers_both_nets():
+    cfg = tiny_config(
+        adversarial__enabled=True,
+        augment__pipeline="no_new_aug",
+        obs__watch_freq_steps=50,
+    )
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    d_sched = poly_lr_schedule(cfg.adversarial.disc_learning_rate, MAX_ITER)
+    step = jax.jit(make_train_step(cfg, g_sched, d_sched))
+    state = build_state(cfg, with_disc=True)
+    _, m = step(state, make_batch(target=True), jax.random.PRNGKey(0))
+    g_mods = set(state.generator.params)
+    d_mods = set(state.discriminator.params)
+    assert {k.split("/")[2] for k in m if k.startswith("watch/g/")} == g_mods
+    assert {k.split("/")[2] for k in m if k.startswith("watch/d/")} == d_mods
