@@ -165,8 +165,33 @@ def _build_int8(variables):
     return variables, forward, batch().astype(jnp.bfloat16)
 
 
+def _devices_with_retry(attempts: int = 5, wait_s: float = 60.0):
+    """jax.devices() with backend-init retries.
+
+    The remote-TPU relay occasionally reports UNAVAILABLE on first contact
+    (observed: a cold tunnel taking >20 min then failing). One bench run is
+    the round's only recorded number, so retry the backend handshake a few
+    times before giving up rather than losing the round to a transient.
+    """
+    from jax.extend.backend import clear_backends
+
+    for attempt in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if attempt == attempts - 1:
+                raise
+            print(
+                f"backend init failed (attempt {attempt + 1}/{attempts}): "
+                f"{e}; retrying in {wait_s:.0f}s",
+                file=sys.stderr,
+            )
+            clear_backends()
+            time.sleep(wait_s)
+
+
 def main() -> None:
-    dev = jax.devices()[0]
+    dev = _devices_with_retry()[0]
     print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
     variables, forward = _build()
 
