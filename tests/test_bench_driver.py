@@ -1,0 +1,56 @@
+"""Driver-entry-point hooks: bench.py backend-init resilience.
+
+The remote-TPU relay has been observed to report UNAVAILABLE on a cold
+tunnel; bench.py is the round's single recorded measurement, so its
+``_devices_with_retry`` must survive transient init failures (and still
+fail loudly when the backend never comes up).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax.extend.backend
+import pytest
+
+sys.path.insert(0, "/root/repo")  # repo root (bench.py lives beside the package)
+import bench  # noqa: E402
+
+
+def test_devices_retry_recovers(monkeypatch):
+    real_devices = bench.jax.devices
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE")
+        return real_devices()
+
+    cleared = {"n": 0}
+    monkeypatch.setattr(bench.jax, "devices", flaky)
+    monkeypatch.setattr(
+        sys.modules["jax.extend.backend"],
+        "clear_backends",
+        lambda: cleared.__setitem__("n", cleared["n"] + 1),
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    devs = bench._devices_with_retry(attempts=5, wait_s=0)
+    assert devs == real_devices()
+    assert calls["n"] == 3  # two failures, then success
+    assert cleared["n"] == 2  # backend cache cleared between attempts
+
+
+def test_devices_retry_gives_up(monkeypatch):
+    def always_down():
+        raise RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+
+    monkeypatch.setattr(bench.jax, "devices", always_down)
+    monkeypatch.setattr(
+        sys.modules["jax.extend.backend"], "clear_backends", lambda: None
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        bench._devices_with_retry(attempts=3, wait_s=0)
