@@ -70,6 +70,10 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
                    help="Model-parallel axis size (default 1).")
     p.add_argument("--compute_dtype", choices=("bfloat16", "float32"))
     p.add_argument("--eval_batch_size", type=int)
+    p.add_argument("--num_workers", type=int,
+                   help="Host decode threads (reference "
+                        "DATALOADER_NUM_WORKERS; -1 = auto-size to "
+                        "min(32, cpu_count), the default).")
     p.add_argument("--train_size", type=int, nargs=2, metavar=("H", "W"),
                    help="Training resize override for ANY train dataset "
                         "(defaults: GTA5 720 1280 / Cityscapes 512 1024, "
@@ -129,6 +133,7 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
     rep("data", cityscapes_path=args.cityscapes_path,
         gta5_path=args.gta5_path, train_dataset=args.train_dataset,
         val_dataset=args.val_dataset, eval_batch_size=args.eval_batch_size,
+        num_workers=args.num_workers,
         train_size_override=tuple(args.train_size) if args.train_size else None,
         eval_size_override=tuple(args.eval_size) if args.eval_size else None)
     rep("train", epochs=args.epochs, batch_size=args.batch_size,

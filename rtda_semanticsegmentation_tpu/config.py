@@ -79,7 +79,13 @@ class DataConfig:
     # per-dataset sizes above mirror the reference's config.py:16-21):
     train_size_override: Optional[Tuple[int, int]] = None
     eval_size_override: Optional[Tuple[int, int]] = None
-    num_workers: int = 8  # host decode threads
+    # Host decode threads. -1 = auto-size to min(32, cpu_count): full-res
+    # GTA5 PNG decode is ~84 ms/sample/thread (PERFORMANCE.md "Host data
+    # path"), so feeding the 242 img/s vanilla train step needs ~21 threads
+    # — the reference's fixed 16 worker processes (config.py:74) underfeeds
+    # it and a fixed 8 would too. The native decode releases the GIL, so
+    # threads scale with cores.
+    num_workers: int = -1
     prefetch_batches: int = 2  # device prefetch depth
     eval_batch_size: int = 8  # reference validates at batch 1; we batch it
     # adversarial UDA streams (reference config.py:268-274)
@@ -91,6 +97,13 @@ class DataConfig:
     # when the library builds, 'on' requires it, 'off' forces PIL. Both
     # paths are bit-identical (tests/test_native_data.py).
     native_decode: str = "auto"
+
+    def resolved_num_workers(self) -> int:
+        if self.num_workers > 0:
+            return self.num_workers
+        import os
+
+        return min(32, os.cpu_count() or 1)
 
 
 @dataclass(frozen=True)

@@ -67,7 +67,7 @@ class Trainer:
             shuffle=True,
             drop_last=True,
             seed=t.seed,
-            num_workers=cfg.data.num_workers,
+            num_workers=cfg.data.resolved_num_workers(),
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
@@ -88,7 +88,7 @@ class Trainer:
                     shuffle=True,
                     drop_last=True,
                     seed=t.seed + 1,
-                    num_workers=cfg.data.num_workers,
+                    num_workers=cfg.data.resolved_num_workers(),
                     process_index=jax.process_index(),
                     process_count=jax.process_count(),
                 )
@@ -227,7 +227,7 @@ class Trainer:
             for images, labels, valid in eval_batches(
                 self.val_ds,
                 self.cfg.data.eval_batch_size,
-                self.cfg.data.num_workers,
+                self.cfg.data.resolved_num_workers(),
             ):
                 yield tuple(
                     globalize_batch(self.mesh_ctx, a)
@@ -602,7 +602,7 @@ def run_experiment(
 
             calib = []
             for images, _, _ in eval_batches(
-                trainer.val_ds, cfg.data.eval_batch_size, cfg.data.num_workers
+                trainer.val_ds, cfg.data.eval_batch_size, cfg.data.resolved_num_workers()
             ):
                 calib.append(
                     normalize_u8(jax.numpy.asarray(images), cfg.augment)

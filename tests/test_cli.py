@@ -107,3 +107,15 @@ def test_loop_frequency_flags():
     assert cfg.train.save_checkpoint_freq_epoch == 5
     assert cfg.train.log_images_freq_epoch == 10
     assert cfg.train.print_freq_batch == 100
+
+
+def test_num_workers_flag_and_auto_default():
+    import os
+
+    cfg = parse(["--num_workers", "3"])
+    assert cfg.data.num_workers == 3
+    assert cfg.data.resolved_num_workers() == 3
+
+    cfg = parse([])
+    assert cfg.data.num_workers == -1  # auto
+    assert cfg.data.resolved_num_workers() == min(32, os.cpu_count() or 1)
