@@ -1,0 +1,63 @@
+"""CPU accuracy study: binned Lovász vs exact sort at 1024/512/256/128 bins.
+
+Loss |delta| and gradient cosine on realistic softmax fields (spatially
+correlated logits so error distributions aren't uniform-random).
+
+FINDING (2026-08-18, f32 CPU, 4 regimes x 4 bin counts): bin count barely
+moves accuracy — max |loss delta| stays ~4e-5 and the worst grad cosine
+goes 0.945 (1024) -> 0.939 (128). The cosine floor comes from the binning
+construction itself (pixels tied within a bucket share one coefficient),
+not from bucket width; diffuse-probability regimes are exact to cos=1.000.
+So the bins knob trades TPU histogram time (k1+k2 = 2*sqrt(bins) compares
+per pixel) against essentially nothing — see the TPU speed half in
+bench_deeplab_scaling_and_bins.py before changing the 1024 default.
+
+Run: PYTHONPATH=/root/repo python scripts/check_lovasz_bins_accuracy.py
+"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from rtda_semanticsegmentation_tpu.ops.losses import lovasz_softmax, lovasz_softmax_binned
+
+C = 19
+H, W, B = 128, 256, 4  # smaller than prod but same distributional shape
+
+def make_batch(seed, sharp):
+    rng = np.random.RandomState(seed)
+    # spatially-correlated logits: low-res noise upsampled
+    low = rng.randn(B, H // 16, W // 16, C).astype(np.float32)
+    logits = jax.image.resize(jnp.asarray(low), (B, H, W, C), "bilinear") * sharp
+    labels = np.argmax(np.asarray(logits), -1).astype(np.int32)
+    # corrupt 30% of labels so errors are nonzero; 5% ignore
+    m = rng.rand(B, H, W)
+    labels = np.where(m < 0.3, rng.randint(0, C, labels.shape), labels)
+    labels = np.where(m > 0.95, 255, labels).astype(np.int32)
+    probas = jax.nn.softmax(logits, -1)
+    return probas, jnp.asarray(labels)
+
+def grads(fn, probas, labels):
+    return jax.grad(lambda p: fn(p, labels))(probas)
+
+rows = []
+for seed, sharp in [(0, 2.0), (1, 2.0), (2, 5.0), (3, 0.5)]:
+    probas, labels = make_batch(seed, sharp)
+    exact = float(lovasz_softmax(probas, labels))
+    g_exact = np.asarray(grads(lambda p, l: lovasz_softmax(p, l), probas, labels)).ravel()
+    for bins in (1024, 512, 256, 128):
+        v = float(lovasz_softmax_binned(probas, labels, bins=bins))
+        g = np.asarray(grads(lambda p, l, b=bins: lovasz_softmax_binned(p, l, bins=b), probas, labels)).ravel()
+        cos = float(np.dot(g, g_exact) / (np.linalg.norm(g) * np.linalg.norm(g_exact) + 1e-30))
+        rows.append((seed, sharp, bins, exact, v, abs(v - exact), cos))
+        print(f"seed={seed} sharp={sharp} bins={bins:5d}: exact={exact:.5f} binned={v:.5f} "
+              f"|d|={abs(v-exact):.2e} grad_cos={cos:.4f}", flush=True)
+import collections
+agg = collections.defaultdict(list)
+for r in rows:
+    agg[r[2]].append((r[5], r[6]))
+print("\nbins  max|dloss|  min grad_cos")
+for bins in (1024, 512, 256, 128):
+    d = agg[bins]
+    print(f"{bins:5d}  {max(x for x,_ in d):.2e}  {min(c for _,c in d):.4f}")
