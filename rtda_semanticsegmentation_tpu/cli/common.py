@@ -70,6 +70,11 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
                    help="Model-parallel axis size (default 1).")
     p.add_argument("--compute_dtype", choices=("bfloat16", "float32"))
     p.add_argument("--eval_batch_size", type=int)
+    p.add_argument("--data_echo", type=int,
+                   help="Run each host-loaded batch through N optimizer "
+                        "steps, each with a fresh on-device augmentation "
+                        "draw (data echoing; 1 = off). Use when host "
+                        "decode can't feed the chip.")
     p.add_argument("--num_workers", type=int,
                    help="Host decode threads (reference "
                         "DATALOADER_NUM_WORKERS; -1 = auto-size to "
@@ -137,6 +142,7 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
         train_size_override=tuple(args.train_size) if args.train_size else None,
         eval_size_override=tuple(args.eval_size) if args.eval_size else None)
     rep("train", epochs=args.epochs, batch_size=args.batch_size,
+        data_echo=args.data_echo,
         resume_checkpoint=args.resume_checkpoint, seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         steps_per_epoch=args.steps_per_epoch,

@@ -213,6 +213,13 @@ class TrainConfig:
     latency_iterations: int = 100
     warmup_iterations: int = 10
     remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
+    # Data echoing (Choi et al. 2019): run each host-loaded batch through
+    # the train step N times. Augmentation keys fold in state.step, so each
+    # echo sees a fresh stochastic augmentation of the same decoded images
+    # — useful when host PNG decode can't feed the chip (PERFORMANCE.md
+    # "Host data path"): echo 2-3 restores chip utilization at the cost of
+    # sample diversity per optimizer step. 1 = off (reference parity).
+    data_echo: int = 1
     #   headroom (larger batches / resolutions per chip)
     steps_per_epoch: Optional[int] = None  # None => derived from dataset length
     # Also evaluate the best model through the int8 PTQ serving path at the

@@ -206,11 +206,20 @@ class Trainer:
         it = iter(self.train_loader)
         if self.target_loader is not None:
             it = zip_source_target(it, self.target_loader)
-        if self.cfg.train.steps_per_epoch is not None:
-            it = itertools.islice(it, self.cfg.train.steps_per_epoch)
-        return prefetch_to_device(
+        out = prefetch_to_device(
             it, self.mesh_ctx, self.cfg.data.prefetch_batches
         )
+        echo = max(1, self.cfg.train.data_echo)
+        if echo > 1:
+            # Data echoing: repeat each device-resident batch (no extra H2D
+            # transfer; the step is a fresh optimizer step with a fresh
+            # augmentation key since rng folds in state.step).
+            out = (b for batch in out for b in itertools.repeat(batch, echo))
+        if self.cfg.train.steps_per_epoch is not None:
+            # Bounds OPTIMIZER steps (echoed steps count), so step-budgeted
+            # runs are comparable across echo factors.
+            out = itertools.islice(out, self.cfg.train.steps_per_epoch)
+        return out
 
     def g_variables(self) -> dict:
         return self.state.generator.variables

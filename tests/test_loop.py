@@ -313,3 +313,24 @@ def test_watch_and_checkpoint_upload_events(tmp_path):
     # both streams mirrored: best (epoch improvements) + periodic latest
     assert any(p["path"].endswith("best_miou") for p in arts)
     assert any(p["path"].endswith("latest") for p in arts)
+
+
+def test_data_echo_multiplies_steps(tmp_path):
+    """Each loaded batch runs data_echo optimizer steps (fresh aug key via
+    the state.step fold); steps_per_epoch still bounds optimizer steps."""
+    # 16 synthetic samples / batch 4 = 4 loaded batches; echo 3, no
+    # steps_per_epoch cap -> 12 optimizer steps per epoch.
+    cfg = e2e_cfg(tmp_path, train__data_echo=3, train__steps_per_epoch=None,
+                  train__epochs=1)
+    report = run_experiment(
+        cfg, run_name="echo", measure_performance=False, verbose=False
+    )
+    assert report["global_step"] == 12
+
+    # With a step budget, echo does not overshoot it.
+    cfg = e2e_cfg(tmp_path, train__data_echo=3, train__steps_per_epoch=5,
+                  train__epochs=1)
+    report = run_experiment(
+        cfg, run_name="echo_capped", measure_performance=False, verbose=False
+    )
+    assert report["global_step"] == 5
