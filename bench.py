@@ -179,7 +179,10 @@ def _devices_with_retry(attempts: int = 5, wait_s: float = 60.0):
         try:
             return jax.devices()
         except RuntimeError as e:
-            if attempt == attempts - 1:
+            # Only transient relay errors are worth retrying; configuration
+            # mistakes (e.g. an unknown backend from a clobbered PYTHONPATH)
+            # fail deterministically and should surface immediately.
+            if attempt == attempts - 1 or "unavailable" not in str(e).lower():
                 raise
             print(
                 f"backend init failed (attempt {attempt + 1}/{attempts}): "

@@ -101,6 +101,10 @@ class DataConfig:
     def resolved_num_workers(self) -> int:
         if self.num_workers > 0:
             return self.num_workers
+        if self.num_workers == 0:
+            # torch-DataLoader convention: 0 = load in the caller's
+            # process — here the minimal single decode thread.
+            return 1
         import os
 
         return min(32, os.cpu_count() or 1)
@@ -214,11 +218,14 @@ class TrainConfig:
     warmup_iterations: int = 10
     remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
     # Data echoing (Choi et al. 2019): run each host-loaded batch through
-    # the train step N times. Augmentation keys fold in state.step, so each
-    # echo sees a fresh stochastic augmentation of the same decoded images
-    # — useful when host PNG decode can't feed the chip (PERFORMANCE.md
-    # "Host data path"): echo 2-3 restores chip utilization at the cost of
-    # sample diversity per optimizer step. 1 = off (reference parity).
+    # the train step N times. Augmentation keys fold in state.step, so with
+    # a STOCHASTIC pipeline each echo sees a fresh augmentation of the same
+    # decoded images — useful when host PNG decode can't feed the chip
+    # (PERFORMANCE.md "Host data path"): echo 2-3 restores chip utilization
+    # at the cost of sample diversity per optimizer step. With a
+    # deterministic pipeline (no_new_aug / Cityscapes sources) echoes are
+    # bit-identical repeats (the loop warns). Echoed steps count toward the
+    # poly-LR horizon and steps_per_epoch. 1 = off (reference parity).
     data_echo: int = 1
     #   headroom (larger batches / resolutions per chip)
     steps_per_epoch: Optional[int] = None  # None => derived from dataset length

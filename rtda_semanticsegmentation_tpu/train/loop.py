@@ -106,7 +106,25 @@ class Trainer:
                 "augs to GTA5 only, config.py:204-241); set no_new_aug to "
                 "silence this"
             )
-        self.steps_per_epoch = t.steps_per_epoch or len(self.train_loader)
+        echo = max(1, t.data_echo)
+        if echo > 1 and (
+            cfg.augment.pipeline == "no_new_aug"
+            or cfg.data.train_dataset == "cityscapes"
+        ):
+            import warnings
+
+            warnings.warn(
+                f"data_echo={t.data_echo} with a deterministic input "
+                "pipeline (no_new_aug, or a Cityscapes train source where "
+                "augmentation is inert) repeats bit-identical gradient "
+                "steps — effectively a larger LR with momentum compounding. "
+                "Echo is intended for stochastic augmentation pipelines."
+            )
+        # Echoed steps are real optimizer steps: the poly-LR horizon and
+        # the optimizer schedules must count them, or LR hits zero after
+        # 1/echo of training. An explicit steps_per_epoch bounds optimizer
+        # steps directly (train_batches islices AFTER echoing).
+        self.steps_per_epoch = t.steps_per_epoch or len(self.train_loader) * echo
         if self.steps_per_epoch <= 0:
             raise ValueError("empty training dataset")
         self.max_iter = t.epochs * self.steps_per_epoch
@@ -206,19 +224,24 @@ class Trainer:
         it = iter(self.train_loader)
         if self.target_loader is not None:
             it = zip_source_target(it, self.target_loader)
+        echo = max(1, self.cfg.train.data_echo)
+        steps = self.cfg.train.steps_per_epoch
+        if steps is not None:
+            # Bound HOST batches before prefetch so the step budget never
+            # decodes/transfers batches it will discard.
+            it = itertools.islice(it, -(-steps // echo))
         out = prefetch_to_device(
             it, self.mesh_ctx, self.cfg.data.prefetch_batches
         )
-        echo = max(1, self.cfg.train.data_echo)
         if echo > 1:
             # Data echoing: repeat each device-resident batch (no extra H2D
-            # transfer; the step is a fresh optimizer step with a fresh
+            # transfer; each repeat is a real optimizer step with a fresh
             # augmentation key since rng folds in state.step).
             out = (b for batch in out for b in itertools.repeat(batch, echo))
-        if self.cfg.train.steps_per_epoch is not None:
+        if steps is not None:
             # Bounds OPTIMIZER steps (echoed steps count), so step-budgeted
             # runs are comparable across echo factors.
-            out = itertools.islice(out, self.cfg.train.steps_per_epoch)
+            out = itertools.islice(out, steps)
         return out
 
     def g_variables(self) -> dict:

@@ -8,12 +8,14 @@ fail loudly when the backend never comes up).
 
 from __future__ import annotations
 
+import pathlib
 import sys
 
 import jax.extend.backend
 import pytest
 
-sys.path.insert(0, "/root/repo")  # repo root (bench.py lives beside the package)
+# repo root (bench.py lives beside the package)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import bench  # noqa: E402
 
 
@@ -54,3 +56,22 @@ def test_devices_retry_gives_up(monkeypatch):
 
     with pytest.raises(RuntimeError, match="UNAVAILABLE"):
         bench._devices_with_retry(attempts=3, wait_s=0)
+
+
+def test_devices_no_retry_on_config_errors(monkeypatch):
+    """Deterministic failures (unknown backend) surface immediately."""
+    calls = {"n": 0}
+
+    def unknown_backend():
+        calls["n"] += 1
+        raise RuntimeError("Unknown backend: 'axon'")
+
+    monkeypatch.setattr(bench.jax, "devices", unknown_backend)
+    monkeypatch.setattr(
+        sys.modules["jax.extend.backend"], "clear_backends", lambda: None
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    with pytest.raises(RuntimeError, match="Unknown backend"):
+        bench._devices_with_retry(attempts=5, wait_s=0)
+    assert calls["n"] == 1  # no retries

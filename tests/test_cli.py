@@ -119,3 +119,9 @@ def test_num_workers_flag_and_auto_default():
     cfg = parse([])
     assert cfg.data.num_workers == -1  # auto
     assert cfg.data.resolved_num_workers() == min(32, os.cpu_count() or 1)
+
+
+def test_num_workers_zero_is_minimal():
+    # torch-DataLoader convention: 0 = in-process loading -> 1 thread here
+    cfg = parse(["--num_workers", "0"])
+    assert cfg.data.resolved_num_workers() == 1

@@ -319,18 +319,37 @@ def test_data_echo_multiplies_steps(tmp_path):
     """Each loaded batch runs data_echo optimizer steps (fresh aug key via
     the state.step fold); steps_per_epoch still bounds optimizer steps."""
     # 16 synthetic samples / batch 4 = 4 loaded batches; echo 3, no
-    # steps_per_epoch cap -> 12 optimizer steps per epoch.
+    # steps_per_epoch cap -> 12 optimizer steps per epoch. The e2e config
+    # uses the deterministic no_new_aug pipeline, so the echo-degeneration
+    # warning must fire.
     cfg = e2e_cfg(tmp_path, train__data_echo=3, train__steps_per_epoch=None,
                   train__epochs=1)
-    report = run_experiment(
-        cfg, run_name="echo", measure_performance=False, verbose=False
-    )
+    with pytest.warns(UserWarning, match="data_echo"):
+        report = run_experiment(
+            cfg, run_name="echo", measure_performance=False, verbose=False
+        )
     assert report["global_step"] == 12
 
     # With a step budget, echo does not overshoot it.
     cfg = e2e_cfg(tmp_path, train__data_echo=3, train__steps_per_epoch=5,
                   train__epochs=1)
-    report = run_experiment(
-        cfg, run_name="echo_capped", measure_performance=False, verbose=False
-    )
+    with pytest.warns(UserWarning, match="data_echo"):
+        report = run_experiment(
+            cfg, run_name="echo_capped", measure_performance=False,
+            verbose=False,
+        )
     assert report["global_step"] == 5
+
+
+def test_data_echo_extends_lr_horizon(tmp_path):
+    """Echoed steps count toward the poly-LR horizon: training must not
+    spend its last (N-1)/N steps at LR 0."""
+    from rtda_semanticsegmentation_tpu.train.loop import Trainer
+
+    cfg = e2e_cfg(tmp_path, train__data_echo=3, train__steps_per_epoch=None,
+                  train__epochs=2)
+    with pytest.warns(UserWarning, match="data_echo"):
+        tr = Trainer(cfg)
+    # 16 samples / batch 4 = 4 loaded batches; echo 3 -> 12 steps/epoch
+    assert tr.steps_per_epoch == 12
+    assert tr.max_iter == 24
