@@ -104,7 +104,10 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
     p.add_argument("--log_images_freq_epoch", type=int,
                    help="Log a validation mask overlay every N epochs "
                         "(reference WANDB_LOG_IMAGES_FREQ_EPOCH, "
-                        "config.py:108; default 10).")
+                        "config.py:108; default 10). Images come from "
+                        "validation predictions, so they are emitted only "
+                        "on validation epochs — keep this a multiple of "
+                        "--validate_freq_epoch.")
     p.add_argument("--print_freq_batch", type=int,
                    help="Log train scalars every N batches (reference "
                         "PRINT_FREQ_BATCH, config.py:106; default 100).")

@@ -9,7 +9,7 @@ confusion-matrix reduction) emitted by XLA from sharding annotations and
 riding ICI.
 """
 
-from .multihost import ensure_distributed
+from .multihost import ensure_distributed, sync_any_flag
 from .tp import shard_state, tp_shardings
 from .mesh import (
     MeshContext,

@@ -50,3 +50,21 @@ def ensure_distributed() -> None:
         # Already initialized by the launcher, or single-process after all.
         print(f"jax.distributed.initialize skipped: {e}")
     _INITIALIZED = True
+
+
+def sync_any_flag(flag: bool) -> bool:
+    """Cross-host OR of a host-local boolean (single-process: identity).
+
+    Used to agree on loop-control decisions that originate host-locally —
+    e.g. a SIGTERM preemption flag, which lands at slightly different times
+    on different hosts. Breaking a training loop on an unsynchronized flag
+    deadlocks the pod: the early host leaves the collective program while
+    the others dispatch another step's all-reduce. Every host must call
+    this at the same loop points (it is a collective).
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    return bool(multihost_utils.process_allgather(np.asarray(flag)).any())

@@ -258,7 +258,7 @@ class CheckpointManager:
             if "discriminator" not in restored:
                 raise ValueError(
                     "adversarial resume needs an adversarial checkpoint; "
-                    f"{self.root}/{which} has no discriminator state"
+                    "the restored checkpoint has no discriminator state"
                 )
             d = d.replace(
                 params=restored["discriminator"]["params"],
@@ -277,9 +277,11 @@ class CheckpointManager:
             "best_miou": float(restored["best_miou"]),
         }
         if "best_model_per_class_ious" in restored:
-            meta["per_class_ious"] = np.asarray(
-                restored["best_model_per_class_ious"]
-            )
+            ious = np.asarray(restored["best_model_per_class_ious"])
+            # Periodic checkpoints store an all-zeros placeholder
+            # (_state_tree) so both streams share one structure; don't let
+            # the placeholder masquerade as a real per-class IoU table.
+            meta["per_class_ious"] = ious if ious.any() else None
         return new_state, meta
 
     def restore_variables(self, which: str = "best") -> Optional[tuple]:

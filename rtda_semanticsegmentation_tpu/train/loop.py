@@ -38,7 +38,7 @@ from ..models.factory import (
     load_pretrained_backbone,
 )
 from ..obs import make_logger, performance_metrics
-from ..parallel import create_mesh, globalize_batch, shard_state
+from ..parallel import create_mesh, globalize_batch, shard_state, sync_any_flag
 from .checkpoint import CheckpointManager
 from .evaluate import evaluate, make_eval_step
 from .optim import build_discriminator_tx, build_generator_tx
@@ -325,10 +325,13 @@ def _preempted_exit(
 ) -> Dict[str, Any]:
     """Checkpoint + clean shutdown after a preemption signal.
 
-    Saves the rolling 'latest' checkpoint with ``epoch - 1`` semantics so
-    ``--resume latest`` replays the interrupted epoch from its start (the
-    per-epoch shuffle makes the replay deterministic). Skips the final
-    report/gallery — the VM's grace window is for saving, not profiling.
+    Saves the rolling 'latest' checkpoint with ``epoch - 1`` semantics; on
+    ``--resume latest`` the loop re-enters the interrupted epoch and
+    fast-forwards the already-trained steps (the mid-epoch position is
+    encoded in the saved step counter), so the continuation is exactly the
+    uninterrupted run — same shuffle position, LR schedule, and aug keys.
+    Skips the final report/gallery — the VM's grace window is for saving,
+    not profiling.
     """
     jax.block_until_ready(state.step)
     trainer.ckpt.save_periodic(state, epoch - 1)
@@ -336,7 +339,7 @@ def _preempted_exit(
     step = int(state.step)
     say(
         f"SIGTERM received: saved 'latest' checkpoint at step {step} "
-        f"(epoch {epoch + 1} will replay on --resume latest)"
+        f"(--resume latest continues epoch {epoch + 1} from that step)"
     )
     report: Dict[str, Any] = {
         "preempted": True,
@@ -391,6 +394,7 @@ def run_experiment(
     state = trainer.state
     best_per_class = None
     start_epoch = 0
+    resume_skip_steps = 0
 
     # --- resume (reference main.py:321-349) ---
     if t.resume_checkpoint:
@@ -422,16 +426,58 @@ def run_experiment(
             state, meta = out
             state = shard_state(state, trainer.mesh_ctx)
             start_epoch = meta["epoch"] + 1
-            # shuffle-stream continuity: epoch N after resume uses the same
-            # permutation an uninterrupted run would
-            trainer.train_loader.set_epoch(start_epoch)
-            if trainer.target_loader is not None:
-                trainer.target_loader.loader.set_epoch(start_epoch)
             best_per_class = meta.get("per_class_ious")
             say(
                 f"resumed from epoch {meta['epoch']} "
                 f"(step {int(state.step)}, best mIoU {meta['best_miou']:.4f})"
             )
+            # A preemption checkpoint carries a MID-epoch step counter
+            # (epoch-1 save semantics, _preempted_exit). Fast-forward the
+            # resumed epoch's already-trained steps instead of replaying
+            # them: skipping k optimizer-step batches leaves the loader's
+            # seeded shuffle, the step counter, the poly-LR position, and
+            # the fold_in(step) aug keys exactly where an uninterrupted run
+            # would be — no double-training, no LR-horizon overshoot.
+            extra = int(state.step) - start_epoch * trainer.steps_per_epoch
+            if extra >= trainer.steps_per_epoch:
+                # Whole epochs beyond the saved epoch index are complete:
+                # one epoch when SIGTERM landed exactly at the boundary of
+                # a same-config run; more than one means the checkpoint
+                # came from a run with a different epoch length (warn).
+                skipped_epochs = extra // trainer.steps_per_epoch
+                start_epoch += skipped_epochs
+                extra -= skipped_epochs * trainer.steps_per_epoch
+                if skipped_epochs > 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"restored step {int(state.step)} spans "
+                        f"{skipped_epochs} epochs beyond the saved epoch "
+                        f"index at steps_per_epoch={trainer.steps_per_epoch}"
+                        " — the checkpoint likely came from a run with a "
+                        "different epoch length; continuing at the step "
+                        "counter's epoch."
+                    )
+            if 0 < extra:
+                resume_skip_steps = extra
+                say(
+                    f"mid-epoch checkpoint: fast-forwarding {extra} "
+                    f"already-trained steps of epoch {start_epoch + 1}"
+                )
+            # shuffle-stream continuity: epoch N after resume uses the same
+            # permutation an uninterrupted run would
+            trainer.train_loader.set_epoch(start_epoch)
+            if trainer.target_loader is not None:
+                trainer.target_loader.loader.set_epoch(start_epoch)
+            if start_epoch >= t.epochs:
+                import warnings
+
+                warnings.warn(
+                    f"resumed checkpoint is at epoch {meta['epoch']} but "
+                    f"train.epochs={t.epochs}: no epochs remain to train. "
+                    "The run will emit its report from the restored weights "
+                    "only — raise --epochs to continue training."
+                )
 
     say(
         f"mode={cfg.train_mode} model={cfg.model.name}/{cfg.model.context_path} "
@@ -453,13 +499,28 @@ def run_experiment(
 
     # --- epoch loop (reference main.py:357-467) ---
     run_start_step = int(state.step)
+    n_proc = jax.process_count()
+    # Multi-host: the SIGTERM flag is host-local and lands at different
+    # times on different hosts; breaking on it unsynchronized deadlocks the
+    # pod in mismatched collectives. Agree via a tiny allgather every
+    # PREEMPT_SYNC_EVERY steps (same count on every host, so the collective
+    # calls align); single-process checks the local flag every step.
+    PREEMPT_SYNC_EVERY = 16
+    preempted = False
     with GracefulPreemption() as preempt:
         for epoch in range(start_epoch, t.epochs):
             t0 = time.time()
             running: Dict[str, float] = {}
             n_batches = 0
             host_step = int(state.step)
-            for batch in trainer.train_batches():
+            batches = trainer.train_batches()
+            if resume_skip_steps:
+                # Mid-epoch resume: pull the already-trained steps through
+                # the loader (keeps the seeded shuffle position) without
+                # training on them. One-time cost: the skipped host decodes.
+                batches = itertools.islice(batches, resume_skip_steps, None)
+                resume_skip_steps = 0
+            for batch in batches:
                 if (
                     trace_dir is not None
                     and trace_stop_after is None
@@ -507,9 +568,13 @@ def run_experiment(
                         },
                         host_step,
                     )
-                if preempt.requested:
+                if n_proc == 1:
+                    preempted = preempt.requested
+                elif host_step % PREEMPT_SYNC_EVERY == 0:
+                    preempted = sync_any_flag(preempt.requested)
+                if preempted:
                     break
-            if preempt.requested:
+            if preempted:
                 if trace_stop_after is not None:
                     jax.profiler.stop_trace()
                     trace_stop_after = None
@@ -548,7 +613,6 @@ def run_experiment(
                 if (epoch + 1) % t.log_images_freq_epoch == 0 and len(trainer.val_ds):
                     try:
                         img_u8, label = trainer.val_ds.load(0)
-                        trainer.state = state
                         pred = np.asarray(
                             trainer.predict(
                                 trainer.g_variables(),

@@ -197,3 +197,37 @@ def test_restore_rejects_unknown_stream(tmp_path):
     with pytest.raises(ValueError):
         mgr.restore_into(make_state(cfg), "/some/path")
     mgr.close()
+
+
+def test_adversarial_restore_from_vanilla_raises_clean_error(tmp_path):
+    """An adversarial resume from a vanilla checkpoint must raise the
+    intended ValueError (not a NameError from the error-message path)."""
+    v_cfg = small_cfg(tmp_path / "v")
+    v_state = make_state(v_cfg)
+    v_mgr = CheckpointManager(v_cfg)
+    v_mgr.save_periodic(mutate(v_state), epoch=0)
+    v_mgr.wait()
+
+    a_cfg = small_cfg(tmp_path / "a", adversarial=True)
+    a_state = make_state(a_cfg, with_disc=True)
+    a_mgr = CheckpointManager(a_cfg)
+    with pytest.raises(ValueError, match="no discriminator state"):
+        a_mgr.restore_from_path(a_state, v_mgr.root)
+
+
+def test_periodic_placeholder_ious_not_reported(tmp_path):
+    """The all-zeros per-class-IoU placeholder in periodic checkpoints must
+    restore as None, not as a fabricated metric table."""
+    cfg = small_cfg(tmp_path)
+    state = make_state(cfg)
+    mgr = CheckpointManager(cfg)
+    mgr.save_periodic(mutate(state), epoch=0)
+    mgr.wait()
+    _, meta = mgr.restore_into(make_state(cfg), "latest")
+    assert meta.get("per_class_ious") is None
+
+    ious = np.linspace(0.1, 0.9, 19).astype(np.float32)
+    mgr.save_best(mutate(state), epoch=0, per_class_ious=ious)
+    mgr.wait()
+    _, meta = mgr.restore_into(make_state(cfg), "best")
+    np.testing.assert_allclose(meta["per_class_ious"], ious)

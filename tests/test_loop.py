@@ -165,10 +165,12 @@ def test_graceful_preemption_guard_catches_sigterm():
         signal.signal(signal.SIGTERM, prev)
 
 
-def test_preemption_checkpoints_and_resume_replays_epoch(tmp_path):
+def test_preemption_checkpoints_and_resume_continues_exactly(tmp_path):
     """SIGTERM mid-training saves 'latest' and exits cleanly; --resume latest
-    replays the interrupted epoch (reference has no preemption handling —
-    SURVEY.md section 5)."""
+    fast-forwards the already-trained steps of the interrupted epoch and
+    continues exactly where the run stopped — the combined run performs the
+    same optimizer steps as an uninterrupted one (reference has no
+    preemption handling — SURVEY.md section 5)."""
     import signal
     import threading
 
@@ -214,8 +216,10 @@ def test_preemption_checkpoints_and_resume_replays_epoch(tmp_path):
     ]
     assert summaries and summaries[-1]["preempted"] is True
 
-    # Resume: same run_name -> same checkpoint dir; end after replaying the
-    # interrupted epoch. The replayed epoch adds exactly steps_per_epoch.
+    # Resume: same run_name -> same checkpoint dir. The interrupted epoch's
+    # already-trained steps are fast-forwarded, so the combined run ends at
+    # exactly the step count an uninterrupted (interrupted_epoch+1)-epoch
+    # run would reach — no step is trained twice.
     cfg2 = e2e_cfg(
         tmp_path,
         train__epochs=interrupted_epoch + 1,
@@ -227,7 +231,7 @@ def test_preemption_checkpoints_and_resume_replays_epoch(tmp_path):
         cfg2, run_name="pre", measure_performance=False, verbose=False
     )
     assert not report2.get("preempted")
-    assert report2["global_step"] == step_at_preempt + 3
+    assert report2["global_step"] == (interrupted_epoch + 1) * 3
 
 
 def test_resume_from_explicit_path(tmp_path):
