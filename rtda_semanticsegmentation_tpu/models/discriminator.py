@@ -49,16 +49,9 @@ class _Conv4x4s2(nn.Module):
             "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
         )
         h, w = x.shape[1], x.shape[2]
-        from ..ops import losses as _losses
+        from ..ops.losses import _use_pallas
 
-        use_pallas, interpret = (
-            (True, False)
-            if jax.default_backend() == "tpu"
-            else (
-                _losses.FORCE_PALLAS_INTERPRET,
-                _losses.FORCE_PALLAS_INTERPRET,
-            )
-        )
+        use_pallas, interpret = _use_pallas()
         if self.use_pallas and use_pallas and h % 2 == 0 and w % 2 == 0:
             from ..ops.pallas_conv import fused_conv4x4s2p1
 

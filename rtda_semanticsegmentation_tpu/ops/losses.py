@@ -97,6 +97,8 @@ def lovasz_softmax(
     (``lovasz_loss.py:142-183``): ignored pixels get a sort key below any
     real error so they land after all valid pixels, with zero contribution.
     """
+    if classes not in ("present", "all"):
+        raise ValueError(f"classes must be 'present' or 'all', got {classes!r}")
     num_classes = probas.shape[-1]
     probas = probas.reshape(-1, num_classes).astype(jnp.float32)
     labels = labels.reshape(-1).astype(jnp.int32)
@@ -149,11 +151,11 @@ def lovasz_softmax(
 
 def _radix_factors(bins: int) -> tuple[int, int]:
     """Factor the bin count into two near-square radices (k1 * k2 == bins)."""
+    if bins <= 0 or bins & (bins - 1):
+        raise ValueError(f"lovasz bins must be a power of two, got {bins}")
     k1 = 1
     while k1 * k1 < bins:
         k1 *= 2
-    if bins % k1:
-        raise ValueError(f"lovasz bins must be a power of two, got {bins}")
     return k1, bins // k1
 
 
@@ -282,6 +284,8 @@ def _binned_lovasz_forward(
     (``pallas_lovasz.lovasz_radix_hist``) that reads the probability matrix
     and labels once for all classes; the XLA radix scan elsewhere.
     """
+    if classes not in ("present", "all"):
+        raise ValueError(f"classes must be 'present' or 'all', got {classes!r}")
     num_classes = probas.shape[-1]
     # One contiguous transpose to (C, P): per-class rows then stream at full
     # bandwidth; slicing columns of (P, C) instead costs ~C x the traffic
@@ -312,7 +316,19 @@ def _binned_lovasz_forward(
     cf = jnp.cumsum(f, axis=1)
     intersection = gts - cf
     union = gts + cn - cf
-    jaccard = 1.0 - intersection / jnp.maximum(union, 1.0)
+    # Empty-prefix Jaccard is 0 (the exact construction's implicit baseline:
+    # lovasz_grad keeps grad[0] = jaccard[0], i.e. a step from 0). union==0
+    # happens only for ABSENT classes on buckets before any pixel appears;
+    # defining those as 1 (the old max(union,1) guard alone) pinned the
+    # absent-class unit delta onto bucket 0 — almost always empty, where
+    # inv_n kills it — silently zeroing the absent-class loss/grad under
+    # classes='all'. With baseline 0 the delta lands on the first NONEMPTY
+    # bucket: loss_c = mean error there ~= max p_c, matching the exact sort
+    # formulation within 1/bins. Present classes have union >= gts > 0
+    # everywhere, so their math is unchanged.
+    jaccard = jnp.where(
+        union > 0, 1.0 - intersection / jnp.maximum(union, 1.0), 0.0
+    )
     delta = jnp.concatenate(
         [jaccard[:, :1], jaccard[:, 1:] - jaccard[:, :-1]], axis=1
     )

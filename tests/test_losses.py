@@ -277,3 +277,70 @@ class TestBinnedLovaszSPMD:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=5e-2, rtol=5e-2
         )
+
+
+class TestBinnedAllClassesMode:
+    """classes='all' parity: absent classes must contribute their max-error
+    term (regression: the empty-prefix Jaccard baseline pinned the
+    absent-class delta onto an empty bucket, zeroing loss AND gradient)."""
+
+    def _absent_class_case(self, seed=0, P=4000, C=6, absent=5):
+        rng = np.random.RandomState(seed)
+        logits = rng.randn(P, C).astype(np.float32) * 2.0
+        probas = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        labels = rng.randint(0, C - 1, P).astype(np.int32)  # class 5 absent
+        assert not (labels == absent).any()
+        return jnp.asarray(probas), jnp.asarray(labels)
+
+    def test_absent_class_value_matches_exact(self):
+        from rtda_semanticsegmentation_tpu.ops.losses import (
+            lovasz_softmax,
+            lovasz_softmax_binned,
+        )
+
+        probas, labels = self._absent_class_case()
+        exact = float(lovasz_softmax(probas, labels, classes="all"))
+        binned = float(
+            lovasz_softmax_binned(probas, labels, classes="all", bins=1024)
+        )
+        assert abs(exact - binned) < 2e-3, (exact, binned)
+
+    def test_absent_class_gradient_nonzero_and_close(self):
+        import jax
+
+        from rtda_semanticsegmentation_tpu.ops.losses import (
+            lovasz_softmax,
+            lovasz_softmax_binned,
+        )
+
+        probas, labels = self._absent_class_case()
+        g_exact = jax.grad(
+            lambda p: lovasz_softmax(p, labels, classes="all")
+        )(probas)
+        g_binned = jax.grad(
+            lambda p: lovasz_softmax_binned(p, labels, classes="all", bins=1024)
+        )(probas)
+        col_e = np.asarray(g_exact)[:, 5]
+        col_b = np.asarray(g_binned)[:, 5]
+        assert np.abs(col_b).sum() > 0, "absent-class gradient still zero"
+        cos = float(
+            np.dot(col_e, col_b)
+            / (np.linalg.norm(col_e) * np.linalg.norm(col_b) + 1e-30)
+        )
+        assert cos > 0.9, cos
+
+    def test_invalid_args_raise(self):
+        import pytest
+
+        from rtda_semanticsegmentation_tpu.ops.losses import (
+            lovasz_softmax,
+            lovasz_softmax_binned,
+        )
+
+        probas, labels = self._absent_class_case()
+        with pytest.raises(ValueError, match="classes"):
+            lovasz_softmax(probas, labels, classes="Present")
+        with pytest.raises(ValueError, match="classes"):
+            lovasz_softmax_binned(probas, labels, classes="everything")
+        with pytest.raises(ValueError, match="power of two"):
+            lovasz_softmax_binned(probas, labels, bins=96)
