@@ -69,6 +69,11 @@ int decode_png(FILE* f, Decoded& out, bool want_rgb) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return FD_ERR_DECODE;
   }
+  // Constructed BEFORE setjmp: a longjmp from inside png_read_image must
+  // not jump over a live object's construction point (UB + leak); with the
+  // declaration here, the error path returns through this frame and the
+  // destructor runs normally.
+  std::vector<png_bytep> rows;
   if (setjmp(err.jb)) {
     png_destroy_read_struct(&png, &info, nullptr);
     return FD_ERR_DECODE;
@@ -112,8 +117,16 @@ int decode_png(FILE* f, Decoded& out, bool want_rgb) {
     png_destroy_read_struct(&png, &info, nullptr);
     return FD_ERR_UNSUPPORTED;
   }
+  // Corrupt headers can declare absurd dimensions; cap the decode buffer
+  // (2^31 bytes) so a hostile/truncated file fails cleanly instead of
+  // throwing bad_alloc through the C ABI.
+  if (out.h <= 0 || out.w <= 0 ||
+      static_cast<long long>(out.h) * out.w * out.c >= (1LL << 31)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return FD_ERR_DECODE;
+  }
   out.data.resize(static_cast<size_t>(out.h) * out.w * out.c);
-  std::vector<png_bytep> rows(out.h);
+  rows.resize(out.h);
   for (int y = 0; y < out.h; ++y)
     rows[y] = out.data.data() + static_cast<size_t>(y) * out.w * out.c;
   png_read_image(png, rows.data());
@@ -149,6 +162,11 @@ int decode_jpeg(FILE* f, Decoded& out) {
   out.h = static_cast<int>(cinfo.output_height);
   out.w = static_cast<int>(cinfo.output_width);
   out.c = 3;
+  if (out.h <= 0 || out.w <= 0 ||
+      static_cast<long long>(out.h) * out.w * 3 >= (1LL << 31)) {
+    jpeg_destroy_decompress(&cinfo);
+    return FD_ERR_DECODE;
+  }
   out.data.resize(static_cast<size_t>(out.h) * out.w * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = out.data.data() +
@@ -308,7 +326,11 @@ const char* fd_error_name(int code) {
 }
 
 // Decode an image file to RGB u8 and bilinear-resize into out (out_h*out_w*3).
-int fd_load_image(const char* path, unsigned char* out, int out_h, int out_w) {
+// No exception may cross the C ABI (std::terminate): decode/resize bodies
+// run under try/catch and report FD_ERR_DECODE so the Python caller can
+// fall back to the PIL path.
+int fd_load_image(const char* path, unsigned char* out, int out_h,
+                  int out_w) try {
   Decoded d;
   int rc = decode_file(path, d, /*want_rgb=*/true);
   if (rc != FD_OK) return rc;
@@ -324,6 +346,8 @@ int fd_load_image(const char* path, unsigned char* out, int out_h, int out_w) {
   else
     resize_bilinear_u8(d.data.data(), d.h, d.w, 3, out, out_h, out_w);
   return FD_OK;
+} catch (...) {
+  return FD_ERR_DECODE;
 }
 
 // Decode a label image, nearest-resize, write int32 trainIds into out
@@ -339,7 +363,7 @@ int fd_load_image(const char* path, unsigned char* out, int out_h, int out_w) {
 // palette-encoded color labels (the official GTA5 ones) map by their
 // palette COLORS, never by raw palette indices.
 int fd_load_label(const char* path, const unsigned char* lut, int* out,
-                  int out_h, int out_w) {
+                  int out_h, int out_w) try {
   Decoded d;
   int rc = decode_file(path, d, /*want_rgb=*/lut != nullptr);
   if (rc != FD_OK) return rc;
@@ -365,6 +389,8 @@ int fd_load_label(const char* path, const unsigned char* lut, int* out,
     }
   }
   return FD_OK;
+} catch (...) {
+  return FD_ERR_DECODE;
 }
 
 }  // extern "C"

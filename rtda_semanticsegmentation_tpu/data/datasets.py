@@ -149,16 +149,36 @@ class CityscapesDataset(SegmentationDataset):
             for f in sorted(files):
                 if f.endswith(".png"):
                     paths.append(os.path.join(dirpath, f))
-        self.pairs = [
-            (
-                p,
-                p.replace(os.sep + "images" + os.sep, os.sep + "gtFine" + os.sep)
-                .replace("_leftImg8bit", "_gtFine_labelTrainIds"),
+        # Label path = same path relative to the label root (images ->
+        # gtFine substitution applied to the ROOT only, not to every
+        # '/images/' occurrence in the absolute path — a root like
+        # '/data/images/cityscapes' must not be rewritten), with the
+        # reference's filename substitution (cityscapes.py:47-56).
+        label_root = os.path.join(root, "gtFine", split)
+        self.pairs = []
+        missing = 0
+        for p in paths:
+            rel = os.path.relpath(p, image_root)
+            lp = os.path.join(
+                label_root,
+                rel.replace("_leftImg8bit", "_gtFine_labelTrainIds"),
             )
-            for p in paths
-        ]
+            if os.path.exists(lp):
+                self.pairs.append((p, lp))
+            else:
+                missing += 1
+        if missing:
+            import warnings
+
+            warnings.warn(
+                f"{missing} Cityscapes images under {image_root} have no "
+                f"matching label under {label_root}; skipping them "
+                "(run cityscapes label generation / check the tree)"
+            )
         if not self.pairs:
-            raise FileNotFoundError(f"no images under {image_root}")
+            raise FileNotFoundError(
+                f"no image/label pairs under {image_root} / {label_root}"
+            )
 
 
 class GTA5Dataset(SegmentationDataset):

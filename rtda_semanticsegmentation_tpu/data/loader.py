@@ -61,6 +61,14 @@ class Loader:
                 f"global batch {batch_size} not divisible by "
                 f"{process_count} processes"
             )
+        if not drop_last and process_count > 1:
+            # A tail batch smaller than the global batch can hand some
+            # process an EMPTY slice (and all jitted consumers assume
+            # static shapes anyway). Use eval_batches for padded tails.
+            raise ValueError(
+                "drop_last=False is not supported multi-host; use "
+                "eval_batches (padded static-shape tails) instead"
+            )
         self._pool: Optional[ThreadPoolExecutor] = None
         self._prefetcher: Optional[ThreadPoolExecutor] = None
 
@@ -134,6 +142,16 @@ class InfiniteLoader:
     ``data_loader.py:26-49``)."""
 
     def __init__(self, loader: Loader):
+        if len(loader) == 0:
+            # Without this, the first __next__ would re-iterate once and
+            # leak the second StopIteration into the caller's generator
+            # frame as an opaque PEP-479 RuntimeError.
+            raise ValueError(
+                f"target stream is empty: dataset of {len(loader.dataset)} "
+                f"samples yields 0 batches of {loader.batch_size} "
+                f"(drop_last={loader.drop_last}); shrink the batch or "
+                "enlarge the dataset"
+            )
         self.loader = loader
         self._it = iter(loader)
 
@@ -224,17 +242,38 @@ def eval_batches(
     dataset: SegmentationDataset,
     batch_size: int,
     num_workers: int = 8,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Deterministic-order eval batches with padded tail + validity mask."""
+    """Deterministic-order eval batches with padded tail + validity mask.
+
+    With ``process_count > 1`` each host decodes ONLY its contiguous
+    ``batch_size / process_count`` slice of every global batch (the same
+    slice ``globalize_batch(..., is_local_shard=True)`` expects) — decoding
+    the full global batch on every host and discarding (N-1)/N of it would
+    multiply the val-set PNG decode cost by the host count.
+    """
     n = len(dataset)
+    if batch_size % process_count:
+        raise ValueError(
+            f"eval batch {batch_size} not divisible by {process_count} hosts"
+        )
+    per = batch_size // process_count
+    h, w = dataset.size
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         for start in range(0, n, batch_size):
-            idxs = list(range(start, min(start + batch_size, n)))
-            samples = list(pool.map(dataset.load, idxs))
-            images = np.stack([s[0] for s in samples])
-            labels = np.stack([s[1] for s in samples])
+            hi = min(start + batch_size, n)  # global end of this batch
+            lo = start + process_index * per
+            idxs = list(range(lo, min(lo + per, hi)))
+            if idxs:
+                samples = list(pool.map(dataset.load, idxs))
+                images = np.stack([s[0] for s in samples])
+                labels = np.stack([s[1] for s in samples])
+            else:  # this host's slice is entirely tail padding
+                images = np.zeros((0, h, w, 3), np.uint8)
+                labels = np.zeros((0, h, w), np.int32)
             valid = np.ones(len(idxs), bool)
-            pad = batch_size - len(idxs)
+            pad = per - len(idxs)
             if pad:
                 images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], images.dtype)])
                 labels = np.concatenate([labels, np.zeros((pad,) + labels.shape[1:], labels.dtype)])

@@ -29,7 +29,6 @@ _SRC = os.path.join(os.path.dirname(__file__), "_native", "fastdata.cpp")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _lib_error: Optional[str] = None
-_lut_buf: Optional[np.ndarray] = None
 
 
 def _cache_dir() -> str:
@@ -89,7 +88,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ]
             lib.fd_error_name.restype = ctypes.c_char_p
             lib.fd_error_name.argtypes = [ctypes.c_int]
-            assert lib.fd_version() == 1
+            if lib.fd_version() != 1:
+                raise RuntimeError(
+                    f"fastdata ABI version {lib.fd_version()} != 1"
+                )
             _lib = lib
         except Exception as e:  # toolchain-less host: silent PIL fallback
             _lib_error = str(e)
@@ -119,7 +121,8 @@ def _err(lib, path: str, code: int) -> OSError:
 def load_image(path: str, size: Tuple[int, int]) -> np.ndarray:
     """Decode + bilinear-resize to (H, W); returns uint8 (H, W, 3)."""
     lib = _load()
-    assert lib is not None, "call available() first"
+    if lib is None:
+        raise RuntimeError(f"native data path unavailable: {_lib_error}")
     h, w = size
     out = np.empty((h, w, 3), np.uint8)
     rc = lib.fd_load_image(
@@ -140,13 +143,17 @@ def load_label(
     without one, RGB labels raise and the caller falls back to PIL.
     """
     lib = _load()
-    assert lib is not None, "call available() first"
+    if lib is None:
+        raise RuntimeError(f"native data path unavailable: {_lib_error}")
     h, w = size
     out = np.empty((h, w), np.int32)
     lut_ptr = None
     if rgb_lut is not None:
         lut = np.ascontiguousarray(rgb_lut, np.uint8)
-        assert lut.size == 256**3, lut.shape
+        if lut.size != 256**3:
+            # hard check (not assert: -O must not disable it) — a
+            # wrong-sized table means out-of-bounds reads in C
+            raise ValueError(f"rgb_lut must have 256^3 entries, got {lut.shape}")
         # keep the LUT alive for the duration of the call
         lut_ptr = lut.ctypes.data_as(ctypes.c_void_p)
     rc = lib.fd_load_label(

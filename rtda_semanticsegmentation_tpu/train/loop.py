@@ -260,9 +260,11 @@ class Trainer:
                 self.val_ds,
                 self.cfg.data.eval_batch_size,
                 self.cfg.data.resolved_num_workers(),
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
             ):
                 yield tuple(
-                    globalize_batch(self.mesh_ctx, a)
+                    globalize_batch(self.mesh_ctx, a, is_local_shard=True)
                     for a in (images, labels, valid)
                 )
 

@@ -168,3 +168,63 @@ def test_loader_set_epoch_resumes_shuffle_stream():
     b_loader.set_epoch(3)
     epoch3_resumed = [b["image"].copy() for b in b_loader]
     np.testing.assert_array_equal(epoch3[0], epoch3_resumed[0])
+
+
+def test_eval_batches_process_slices_concatenate(cityscapes_root):
+    """Sharded eval decode: the per-host slices of every batch concatenate
+    to exactly the unsliced stream (padding included)."""
+    ds = CityscapesDataset(cityscapes_root, "val", size=(32, 64))  # 3 images
+    full = list(eval_batches(ds, batch_size=4))
+    shard0 = list(eval_batches(ds, batch_size=4, process_index=0, process_count=2))
+    shard1 = list(eval_batches(ds, batch_size=4, process_index=1, process_count=2))
+    assert len(full) == len(shard0) == len(shard1) == 1
+    for (fi, fl, fv), (a_i, a_l, a_v), (b_i, b_l, b_v) in zip(
+        full, shard0, shard1
+    ):
+        np.testing.assert_array_equal(np.concatenate([a_i, b_i]), fi)
+        np.testing.assert_array_equal(np.concatenate([a_l, b_l]), fl)
+        np.testing.assert_array_equal(np.concatenate([a_v, b_v]), fv)
+    # host 1's slice of the tail batch is all padding (3 valid of 4)
+    assert shard1[0][2].tolist() == [True, False]
+
+
+def test_infinite_loader_rejects_empty_stream():
+    ds = SyntheticDataset(length=2, size=(16, 16))
+    with pytest.raises(ValueError, match="target stream is empty"):
+        InfiniteLoader(Loader(ds, batch_size=4, drop_last=True))
+
+
+def test_loader_rejects_droplast_false_multihost():
+    ds = SyntheticDataset(length=8, size=(16, 16))
+    with pytest.raises(ValueError, match="drop_last"):
+        Loader(ds, 4, drop_last=False, process_index=0, process_count=2)
+
+
+def test_cityscapes_root_containing_images_segment(tmp_path):
+    """A dataset root that itself contains an 'images' path segment must
+    not have that segment rewritten when deriving label paths."""
+    root = tmp_path / "images" / "cs"
+    rng = np.random.RandomState(3)
+    stem = "city_000000_000019"
+    _png(str(root / "images" / "val" / "city" / f"{stem}_leftImg8bit.png"),
+         rng.randint(0, 256, (H0, W0, 3), np.uint8))
+    _png(str(root / "gtFine" / "val" / "city" / f"{stem}_gtFine_labelTrainIds.png"),
+         rng.randint(0, 19, (H0, W0)).astype(np.uint8))
+    ds = CityscapesDataset(str(root), "val", size=(32, 64))
+    assert len(ds) == 1
+    img, lab = ds.load(0)
+    assert img.shape == (32, 64, 3) and lab.shape == (32, 64)
+
+
+def test_cityscapes_warns_and_skips_missing_labels(tmp_path):
+    root = tmp_path / "cs2"
+    rng = np.random.RandomState(4)
+    for i in range(2):
+        stem = f"city_{i:06d}_000019"
+        _png(str(root / "images" / "val" / "city" / f"{stem}_leftImg8bit.png"),
+             rng.randint(0, 256, (H0, W0, 3), np.uint8))
+    _png(str(root / "gtFine" / "val" / "city" / "city_000000_000019_gtFine_labelTrainIds.png"),
+         rng.randint(0, 19, (H0, W0)).astype(np.uint8))
+    with pytest.warns(UserWarning, match="no matching label"):
+        ds = CityscapesDataset(str(root), "val", size=(32, 64))
+    assert len(ds) == 1
