@@ -52,7 +52,24 @@ class _Conv4x4s2(nn.Module):
         from ..ops.losses import _use_pallas
 
         use_pallas, interpret = _use_pallas()
-        if self.use_pallas and use_pallas and h % 2 == 0 and w % 2 == 0:
+        # On a multi-shard data axis the Pallas call is ONLY safe under
+        # shard_map (an unsharded pallas_call makes the SPMD partitioner
+        # all-gather the full batch onto every chip and replicate the whole
+        # conv). If the batch can't be shard_mapped (not divisible — e.g. a
+        # batch-1 init/probe call), fall through to lax.conv, which XLA can
+        # shard, rather than running the replicated-gather pathology.
+        shardable = (
+            self.mesh is None
+            or self.mesh.shape[self.data_axis] == 1
+            or x.shape[0] % self.mesh.shape[self.data_axis] == 0
+        )
+        if (
+            self.use_pallas
+            and use_pallas
+            and shardable
+            and h % 2 == 0
+            and w % 2 == 0
+        ):
             from ..ops.pallas_conv import fused_conv4x4s2p1
 
             def conv(xb, k):
@@ -63,9 +80,8 @@ class _Conv4x4s2(nn.Module):
 
             if (
                 self.mesh is not None
-                and x.shape[0] % self.mesh.shape[self.data_axis] == 0
+                and self.mesh.shape[self.data_axis] > 1
             ):
-                # (init calls use a batch-1 dummy: plain path, same params)
                 from jax.sharding import PartitionSpec as P
 
                 conv = jax.shard_map(

@@ -370,7 +370,14 @@ def max_pool_torch(
 
     def out_size(n: int) -> int:
         eff = n + 2 * padding - window
-        return -(-eff // strides) + 1 if ceil_mode else eff // strides + 1
+        out = -(-eff // strides) + 1 if ceil_mode else eff // strides + 1
+        # torch drops a ceil-mode window that would start entirely inside
+        # the right padding (ATen pooling_output_shape: if (out-1)*s >=
+        # n + p, out -= 1) — without this, some shapes grow an extra
+        # all--inf output row/column.
+        if ceil_mode and (out - 1) * strides >= n + padding:
+            out -= 1
+        return out
 
     # NOTE: a pair-packed slicing formulation of the 3x3/2 pool was tried
     # and measured SLOWER than reduce_window on v5e (0.98 vs 0.77 ms at

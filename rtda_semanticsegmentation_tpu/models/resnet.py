@@ -135,6 +135,14 @@ class ResNetFeatures(nn.Module):
             layers, block_cls = (3, 4, 23, 3), Bottleneck
         else:
             raise ValueError(f"unsupported resnet depth {self.depth}")
+        if block_cls is BasicBlock and self.output_stride != 32:
+            # BasicBlock carries no dilation field; silently building
+            # stride-1 UNdilated stages would collapse the receptive field
+            # while claiming the DeepLab dilation trick.
+            raise ValueError(
+                f"output_stride={self.output_stride} needs dilated stages, "
+                f"which only the Bottleneck (depth>=50) blocks implement"
+            )
 
         x = ConvBN(
             64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),

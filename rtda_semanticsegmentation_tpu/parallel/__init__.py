@@ -13,21 +13,18 @@ from .multihost import ensure_distributed, sync_any_flag
 from .tp import shard_state, tp_shardings
 from .mesh import (
     MeshContext,
-    batch_sharding,
     create_mesh,
     globalize_batch,
-    replicated,
     shard_batch,
 )
 
 __all__ = [
     "MeshContext",
-    "batch_sharding",
     "create_mesh",
-    "replicated",
     "shard_batch",
     "globalize_batch",
     "ensure_distributed",
     "shard_state",
+    "sync_any_flag",
     "tp_shardings",
 ]

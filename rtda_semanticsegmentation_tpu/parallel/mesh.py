@@ -62,10 +62,15 @@ def create_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> MeshContext:
     cfg = cfg or MeshConfig()
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    model = max(1, cfg.model)
-    if n % model:
-        raise ValueError(f"{n} devices not divisible by model={model}")
-    data = cfg.data if cfg.data > 0 else n // model
+    model = cfg.model
+    if model <= 0:
+        raise ValueError(f"mesh.model must be >= 1, got {model}")
+    if cfg.data > 0:
+        data = cfg.data
+    else:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
     if data * model != n:
         # Allow using a subset of devices when explicitly requested.
         if data * model > n:
@@ -83,14 +88,6 @@ def create_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> MeshContext:
     )
 
 
-def batch_sharding(ctx: MeshContext, ndim: int = 4) -> NamedSharding:
-    return ctx.batch_sharding(ndim)
-
-
-def replicated(ctx: MeshContext) -> NamedSharding:
-    return ctx.replicated()
-
-
 def globalize_batch(ctx: MeshContext, array, is_local_shard: bool = False):
     """Turn a host numpy batch into a global jax.Array sharded over ``data``.
 
@@ -106,9 +103,32 @@ def globalize_batch(ctx: MeshContext, array, is_local_shard: bool = False):
         return jax.device_put(array, ctx.batch_sharding(np.ndim(array)))
     sharding = ctx.batch_sharding(np.ndim(array))
     if not is_local_shard:
-        per = array.shape[0] // jax.process_count()
-        lo = jax.process_index() * per
-        array = array[lo : lo + per]
+        # Derive this process's batch rows from the sharding itself rather
+        # than assuming 1/process_count contiguous ownership: with data=1
+        # (model axis spanning hosts) every host owns the FULL replicated
+        # batch, and uneven splits must fail loudly, not truncate.
+        if array.shape[0] % ctx.num_data_shards:
+            raise ValueError(
+                f"global batch {array.shape[0]} not divisible by the data "
+                f"axis ({ctx.num_data_shards})"
+            )
+        imap = sharding.devices_indices_map(tuple(np.shape(array)))
+        rows = [imap[d][0] for d in sharding.addressable_devices]
+        lo = min(r.start or 0 for r in rows)
+        hi = max(
+            array.shape[0] if r.stop is None else r.stop for r in rows
+        )
+        local = array[lo:hi]
+        n_owned = sum(
+            (array.shape[0] if r.stop is None else r.stop) - (r.start or 0)
+            for r in {(r.start, r.stop): r for r in rows}.values()
+        )
+        if n_owned != local.shape[0]:
+            raise ValueError(
+                "this process's batch rows are not one contiguous range; "
+                "reorder the mesh so the data axis groups by process"
+            )
+        array = local
     return jax.make_array_from_process_local_data(sharding, array)
 
 

@@ -47,7 +47,16 @@ def ensure_distributed() -> None:
     try:
         jax.distributed.initialize()
     except (RuntimeError, ValueError) as e:
-        # Already initialized by the launcher, or single-process after all.
+        # Tolerate ONLY the already-initialized case (launcher did it for
+        # us); a genuine failure must not silently degrade the pod into N
+        # independent single-host trainings that each see the full dataset
+        # and write the same checkpoint directory.
+        already = "already initialized" in str(e).lower()
+        if not already and jax.process_count() == 1:
+            raise RuntimeError(
+                "multi-host environment detected (coordinator address set) "
+                f"but jax.distributed.initialize failed: {e}"
+            ) from e
         print(f"jax.distributed.initialize skipped: {e}")
     _INITIALIZED = True
 

@@ -166,3 +166,32 @@ def test_final_conv_commutes_with_upsample():
     a = conv(resize_bilinear(x, (64, 128)))
     b = resize_bilinear(conv(x), (64, 128))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_max_pool_torch_ceil_mode_drops_padding_only_window():
+    """torch drops a ceil-mode window starting entirely in right padding
+    (ATen pooling_output_shape); oracle-checked against torch itself."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    for n, k, s, p in [(5, 3, 3, 1), (7, 2, 2, 1), (6, 3, 3, 1), (5, 3, 2, 1)]:
+        x = rng.randn(1, n, n, 1).astype(np.float32)
+        got = np.asarray(max_pool_torch(jnp.asarray(x), k, s, p, ceil_mode=True))
+        want = (
+            torch.nn.functional.max_pool2d(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)), k, s, p,
+                ceil_mode=True,
+            )
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+        assert got.shape == want.shape, (n, k, s, p, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_resnet18_rejects_reduced_output_stride():
+    from rtda_semanticsegmentation_tpu.models.resnet import ResNetFeatures
+
+    model = ResNetFeatures(depth=18, output_stride=8)
+    with pytest.raises(ValueError, match="dilated"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
