@@ -46,6 +46,15 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
                             "isonoise_only", "coarsedropout_only",
                             "all_four_combined", "all_four_plus_hflip"))
     p.add_argument("--use_lovasz", action="store_true", default=None)
+    p.add_argument("--lovasz_impl", choices=("binned", "sort"), default=None,
+                   help="Lovasz formulation: 'binned' counting-sort "
+                        "(TPU-fast default) or 'sort' (exact reference "
+                        "descending-sort parity, ~8x slower on TPU).")
+    p.add_argument("--lovasz_bins", type=int, default=None,
+                   help="Bucket count for the binned Lovasz (power of two; "
+                        "default 256 — fidelity is essentially "
+                        "bin-count-independent, see "
+                        "scripts/check_lovasz_bins_accuracy.py).")
     p.add_argument("--aux_weight", type=float, default=None,
                    help="BiSeNet aux-head CE weight (0 = reference parity; "
                         "the BiSeNet paper uses 1.0).")
@@ -156,7 +165,8 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
         log_images_freq_epoch=args.log_images_freq_epoch,
         print_freq_batch=args.print_freq_batch)
     rep("augment", pipeline=args.augmentation)
-    rep("loss", use_lovasz=args.use_lovasz, aux_weight=args.aux_weight)
+    rep("loss", use_lovasz=args.use_lovasz, aux_weight=args.aux_weight,
+        lovasz_impl=args.lovasz_impl, lovasz_bins=args.lovasz_bins)
     rep("obs", backend=args.log_backend, run_name=args.run_name,
         log_dir=args.log_dir, watch_freq_steps=args.watch_freq_steps,
         upload_checkpoints=args.upload_checkpoints)

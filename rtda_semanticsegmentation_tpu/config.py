@@ -174,7 +174,13 @@ class LossConfig:
     # 'binned' = counting-sort formulation (TPU-fast, ~1e-3 of exact);
     # 'sort' = exact descending-sort parity with the reference.
     lovasz_impl: str = "binned"
-    lovasz_bins: int = 1024
+    # 256 bins: measured on v5e this is ~6% faster per flagship step than
+    # 1024 (scripts/bench_deeplab_scaling_and_bins.py: 108.1 vs 114.7 ms)
+    # while the accuracy study shows bin count barely moves fidelity —
+    # max |loss delta| ~4e-5 and grad cosine 0.943 vs 0.945 at 1024
+    # (scripts/check_lovasz_bins_accuracy.py; the cosine floor comes from
+    # binning itself, not bucket width). Raise for parity studies.
+    lovasz_bins: int = 256
     # Weight for BiSeNet's two aux-head CE losses (the BiSeNet paper uses
     # 1.0). Default 0.0 = reference parity: the reference computes the aux
     # heads but never feeds them to a loss (train.py:113-120), and XLA

@@ -139,7 +139,7 @@ class BiSeNet(nn.Module):
     quant_min_ch: int = 64
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, upsample: bool = True):
         h, w = x.shape[1], x.shape[2]
         phase = 4 if self.fast_input else 0
         q = dict(quant=self.quant, quant_min_ch=self.quant_min_ch)
@@ -194,6 +194,14 @@ class BiSeNet(nn.Module):
             self.num_classes, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=kaiming_normal_fan_in, name="final_conv",
         )(result)
+        # upsample=False (eval only): return the 1/8-resolution logits — the
+        # x8 bilinear field is exactly reproducible from these
+        # (ops/upsample.py). Used by the serving-tail A/B study
+        # (scripts/bench_fused_tail.py) and available to consumers that want
+        # low-res outputs; the native resize+argmax tail measured FASTER on
+        # v5e, so the default serving path keeps upsample=True.
+        if not train and not upsample:
+            return result
         result = resize_bilinear(result, (h, w))
 
         if train:

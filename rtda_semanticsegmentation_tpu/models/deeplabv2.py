@@ -54,7 +54,7 @@ class DeepLabV2(nn.Module):
     quant_min_ch: int = 64
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, upsample: bool = True):
         h, w = x.shape[1], x.shape[2]
         _, c4 = ResNetFeatures(
             depth=101, output_stride=8, deeplab_style=True,
@@ -63,6 +63,11 @@ class DeepLabV2(nn.Module):
             quant=self.quant, quant_min_ch=self.quant_min_ch,
         )(x, train)
         logits = ASPP(self.num_classes, dtype=self.dtype, name="aspp")(c4)
+        # upsample=False (eval only): 1/8-resolution logits (exactly
+        # reconstructible to full res — ops/upsample.py; the native
+        # resize+argmax tail measured faster on v5e, so this is opt-in).
+        if not train and not upsample:
+            return logits
         logits = resize_bilinear(logits, (h, w))
         if train:
             return logits, None, None
