@@ -103,6 +103,12 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
     p.add_argument("--profile_steps", type=int,
                    help="Capture a jax.profiler timeline trace of N warm "
                         "train steps (written under the log dir).")
+    p.add_argument("--no_halt_on_nonfinite", action="store_true",
+                   default=None,
+                   help="Keep training through NaN/Inf losses instead of "
+                        "halting with a diagnostic at the next log point "
+                        "(failure detection is ON by default; the "
+                        "reference has none — SURVEY.md section 5).")
     p.add_argument("--validate_freq_epoch", type=int,
                    help="Validate every N epochs (reference "
                         "VALIDATE_FREQ_EPOCH, config.py:107; default 1).")
@@ -160,6 +166,7 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
         steps_per_epoch=args.steps_per_epoch,
         final_int8_eval=args.final_int8_eval,
         profile_steps=args.profile_steps,
+        halt_on_nonfinite=(False if args.no_halt_on_nonfinite else None),
         validate_freq_epoch=args.validate_freq_epoch,
         save_checkpoint_freq_epoch=args.save_checkpoint_freq_epoch,
         log_images_freq_epoch=args.log_images_freq_epoch,

@@ -242,6 +242,13 @@ class TrainConfig:
     # under <obs.log_dir>/<run>/trace, view with TensorBoard / xprof; the
     # reference has no timeline tracer — SURVEY.md section 5). 0 = off.
     profile_steps: int = 0
+    # Failure detection (the reference has none — SURVEY.md section 5): halt
+    # with a diagnostic when any train metric (loss components, grad_norm)
+    # goes NaN/Inf, instead of silently burning chip-hours on poisoned
+    # params. Checked at the existing log points (print_freq_batch / epoch
+    # mean), where scalars cross to the host anyway — no extra device syncs
+    # on the hot path.
+    halt_on_nonfinite: bool = True
 
 
 @dataclass(frozen=True)

@@ -47,6 +47,30 @@ from .state import ModelState, TrainState
 from .steps import make_train_step
 
 
+class NonFiniteLossError(RuntimeError):
+    """A train metric went NaN/Inf (``train.halt_on_nonfinite``).
+
+    Failure detection the reference lacks (SURVEY.md section 5 lists none):
+    raised at a log point so at most ``print_freq_batch`` poisoned optimizer
+    updates ran. Recovery: resume from the periodic 'latest' checkpoint
+    (pre-divergence by construction — saves happen on epoch boundaries)
+    with a lower LR, or rerun with ``--no_halt_on_nonfinite`` to ignore.
+    """
+
+
+def _check_finite(scalars: Dict[str, float], step: int, where: str) -> None:
+    import math
+
+    bad = {k: v for k, v in scalars.items() if not math.isfinite(v)}
+    if bad:
+        raise NonFiniteLossError(
+            f"non-finite train metrics at step {step} ({where}): "
+            + ", ".join(f"{k}={v}" for k, v in sorted(bad.items()))
+            + ". Params are likely poisoned; resume from the 'latest' "
+            "checkpoint with a lower learning rate."
+        )
+
+
 class Trainer:
     """Everything an experiment needs, built once from its config."""
 
@@ -560,6 +584,8 @@ def run_experiment(
                         if not k.startswith("watch/")
                     }
                     logger.log(host, host_step)
+                    if t.halt_on_nonfinite:
+                        _check_finite(host, host_step, "batch log point")
                 watch_freq = cfg.obs.watch_freq_steps
                 if watch_freq > 0 and host_step % watch_freq == 0:
                     logger.log(
@@ -586,6 +612,10 @@ def run_experiment(
             epoch_means = {
                 k: float(v) / max(n_batches, 1) for k, v in running.items()
             }
+            if t.halt_on_nonfinite:
+                # Catches divergence in epochs shorter than print_freq_batch
+                # (a NaN in any batch makes the running mean NaN).
+                _check_finite(epoch_means, int(state.step), "epoch mean")
             say(
                 f"epoch {epoch + 1}/{t.epochs} "
                 + " ".join(

@@ -125,3 +125,9 @@ def test_num_workers_zero_is_minimal():
     # torch-DataLoader convention: 0 = in-process loading -> 1 thread here
     cfg = parse(["--num_workers", "0"])
     assert cfg.data.resolved_num_workers() == 1
+
+
+def test_halt_on_nonfinite_flag():
+    assert parse([]).train.halt_on_nonfinite is True
+    assert parse(["--no_halt_on_nonfinite"]).train.halt_on_nonfinite is False
+

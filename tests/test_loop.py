@@ -357,3 +357,41 @@ def test_data_echo_extends_lr_horizon(tmp_path):
     # 16 samples / batch 4 = 4 loaded batches; echo 3 -> 12 steps/epoch
     assert tr.steps_per_epoch == 12
     assert tr.max_iter == 24
+
+
+def test_check_finite_guard():
+    from rtda_semanticsegmentation_tpu.train.loop import (
+        NonFiniteLossError,
+        _check_finite,
+    )
+
+    _check_finite({"train/loss": 0.5, "train/lr": 1e-4}, 10, "batch log point")
+    with pytest.raises(NonFiniteLossError, match=r"step 7.*loss=nan"):
+        _check_finite({"loss": float("nan"), "lr": 1e-4}, 7, "epoch mean")
+    with pytest.raises(NonFiniteLossError, match="grad_norm=inf"):
+        _check_finite({"grad_norm": float("inf")}, 3, "batch log point")
+
+
+def test_divergent_run_halts_with_diagnostic(tmp_path):
+    from rtda_semanticsegmentation_tpu.train.loop import NonFiniteLossError
+
+    # An absurd LR poisons the params within a step or two; the guard must
+    # halt at a log point (print_freq_batch=2) or the epoch mean with a
+    # diagnostic instead of finishing the run on NaNs.
+    cfg = e2e_cfg(tmp_path, optimizer__learning_rate=1e32)
+    with pytest.raises(NonFiniteLossError, match="non-finite train metrics"):
+        run_experiment(
+            cfg, run_name="diverge", measure_performance=False, verbose=False
+        )
+    # With the guard off the same run must complete (reference behavior:
+    # no failure detection at all).
+    cfg2 = e2e_cfg(
+        tmp_path, optimizer__learning_rate=1e32, train__halt_on_nonfinite=False
+    )
+    cfg2 = cfg2.replace(
+        train=dataclasses.replace(cfg2.train, checkpoint_dir=str(tmp_path / "c2"))
+    )
+    report = run_experiment(
+        cfg2, run_name="diverge_ok", measure_performance=False, verbose=False
+    )
+    assert report is not None
