@@ -103,6 +103,14 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
     p.add_argument("--profile_steps", type=int,
                    help="Capture a jax.profiler timeline trace of N warm "
                         "train steps (written under the log dir).")
+    if adversarial:
+        p.add_argument("--disc_downsample", type=int, default=None,
+                       help="Average-pool the softmax maps by this factor "
+                            "before the discriminator (1 = reference "
+                            "parity: full-resolution output-space maps). "
+                            "The FC-Discriminator is ~1/3 of the flagship "
+                            "step; factor 8 removes nearly all of it — "
+                            "see PERFORMANCE.md.")
     p.add_argument("--no_halt_on_nonfinite", action="store_true",
                    default=None,
                    help="Keep training through NaN/Inf losses instead of "
@@ -178,4 +186,7 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
         log_dir=args.log_dir, watch_freq_steps=args.watch_freq_steps,
         upload_checkpoints=args.upload_checkpoints)
     rep("mesh", data=args.mesh_data, model=args.mesh_model)
+    if adversarial:
+        rep("adversarial",
+            disc_downsample=getattr(args, "disc_downsample", None))
     return cfg

@@ -157,6 +157,18 @@ class AdversarialConfig:
 
     enabled: bool = False
     lambda_adv: float = 0.002  # generator adversarial loss weight
+    # Block-average the generator LOGITS by this factor before the softmax
+    # that feeds the discriminator (both the D step and G's adversarial
+    # term). 1 = reference parity (full-resolution output-space softmax
+    # maps, Tsai et al.; reference train.py:249-307). The FC-Discriminator's
+    # 19-channel full-res conv1 resists every kernel-level rewrite
+    # (PERFORMANCE.md "Known anomalies"); pooling shrinks D work ~factor^2
+    # AND skips materializing the full-res f32 probability maps, while D —
+    # fully convolutional — sees the same patch-level output-space domain
+    # signal (softmax of block-mean logits). Requires train H, W divisible
+    # by the factor. Measured: see PERFORMANCE.md "Discriminator input
+    # downsampling".
+    disc_downsample: int = 1
     disc_optimizer: str = "adam"
     disc_learning_rate: float = 2.5e-5
     disc_adam_b1: float = 0.9

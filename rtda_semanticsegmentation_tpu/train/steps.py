@@ -70,6 +70,30 @@ def _watch_norms(params, grads, tag: str) -> Metrics:
     return out
 
 
+def _block_mean(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Average-pool a (B, H, W, C) map by ``factor`` per spatial axis.
+
+    ``adversarial.disc_downsample``: block-mean via reshape (XLA lowers it
+    to a cheap reduce, no windowed gather). Applied to the LOGITS before
+    the f32 softmax, so the full-resolution f32 probability map (~1.2 GB at
+    batch 8 @ 512x1024) is never materialized — the discriminator sees
+    softmax(block-mean logits), a probability map of the same output-space
+    domain signal at 1/factor^2 the pixel work. factor=1 is the identity
+    (reference parity: full-res softmax maps, train.py:249-307).
+    """
+    if factor == 1:
+        return x
+    b, h, w, c = x.shape
+    if h % factor or w % factor:
+        raise ValueError(
+            f"adversarial.disc_downsample={factor} must divide the train "
+            f"resolution; got a {h}x{w} map"
+        )
+    return x.reshape(b, h // factor, factor, w // factor, factor, c).mean(
+        axis=(2, 4)
+    )
+
+
 def _apply_train(mstate: ModelState, params, batch_stats, x, remat: bool = False):
     """Train-mode forward; returns ((logits, aux1, aux2), new batch_stats).
 
@@ -173,6 +197,11 @@ def make_train_step(
     ``state.step`` so each step draws fresh augmentation noise.
     """
     adversarial = cfg.adversarial.enabled
+    if adversarial and cfg.adversarial.disc_downsample < 1:
+        raise ValueError(
+            "adversarial.disc_downsample must be >= 1, got "
+            f"{cfg.adversarial.disc_downsample}"
+        )
 
     def source_step(state: TrainState, batch, rng) -> Tuple[TrainState, Metrics]:
         key = jax.random.fold_in(rng, state.step)
@@ -244,11 +273,16 @@ def make_train_step(
         # and strictly smaller.
         preds, g_pullback, new_bs = jax.vjp(g_forward, g.params, has_aux=True)
         pred_s0, pred_t0 = preds[0], preds[1]
+        pool = cfg.adversarial.disc_downsample
         sm_s = jax.lax.stop_gradient(
-            jax.nn.softmax(pred_s0.astype(jnp.float32), axis=-1)
+            jax.nn.softmax(
+                _block_mean(pred_s0, pool).astype(jnp.float32), axis=-1
+            )
         ).astype(compute_dtype)
         sm_t = jax.lax.stop_gradient(
-            jax.nn.softmax(pred_t0.astype(jnp.float32), axis=-1)
+            jax.nn.softmax(
+                _block_mean(pred_t0, pool).astype(jnp.float32), axis=-1
+            )
         ).astype(compute_dtype)
 
         def d_loss_fn(d_params):
@@ -275,7 +309,7 @@ def make_train_step(
                 pred_s, labels_s, cfg, aux=live_preds[2:], mesh_ctx=mesh_ctx
             )
             sm_t_live = jax.nn.softmax(
-                pred_t.astype(jnp.float32), axis=-1
+                _block_mean(pred_t, pool).astype(jnp.float32), axis=-1
             ).astype(compute_dtype)
             d_out = new_d.apply_fn({"params": new_d.params}, sm_t_live)
             loss_adv = bce_with_logits(d_out, REAL_LABEL)

@@ -131,3 +131,10 @@ def test_halt_on_nonfinite_flag():
     assert parse([]).train.halt_on_nonfinite is True
     assert parse(["--no_halt_on_nonfinite"]).train.halt_on_nonfinite is False
 
+
+def test_disc_downsample_flag_adversarial_only():
+    cfg = parse(["--disc_downsample", "8"], adversarial=True)
+    assert cfg.adversarial.disc_downsample == 8
+    assert parse([], adversarial=True).adversarial.disc_downsample == 1
+    with pytest.raises(SystemExit):
+        parse(["--disc_downsample", "8"])  # vanilla CLI: unknown flag

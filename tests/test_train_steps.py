@@ -441,3 +441,53 @@ def test_watch_norms_adversarial_covers_both_nets():
     d_mods = set(state.discriminator.params)
     assert {k.split("/")[2] for k in m if k.startswith("watch/g/")} == g_mods
     assert {k.split("/")[2] for k in m if k.startswith("watch/d/")} == d_mods
+
+
+def test_block_mean_oracle_and_identity():
+    from rtda_semanticsegmentation_tpu.train.steps import _block_mean
+
+    rng = np.random.RandomState(0)
+    p = rng.rand(2, 8, 12, 5).astype(np.float32)
+    x = jnp.asarray(p)
+    assert _block_mean(x, 1) is x  # factor 1 = identity, no op inserted
+    for f in (2, 4):
+        got = np.asarray(_block_mean(x, f))
+        want = p.reshape(2, 8 // f, f, 12 // f, f, 5).mean(axis=(2, 4))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+    with pytest.raises(ValueError, match="disc_downsample"):
+        _block_mean(x, 5)
+
+
+def test_adversarial_disc_downsample_runs_and_changes_d_input():
+    cfg = tiny_config(
+        adversarial__enabled=True,
+        augment__pipeline="no_new_aug",
+        adversarial__disc_downsample=2,
+    )
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    d_sched = poly_lr_schedule(cfg.adversarial.disc_learning_rate, MAX_ITER)
+    step = jax.jit(make_train_step(cfg, g_sched, d_sched))
+    batch = make_batch(target=True)
+    state1, m1 = step(build_state(cfg, with_disc=True), batch, jax.random.PRNGKey(0))
+    for k in ("loss", "loss_seg", "loss_adv_g", "loss_d"):
+        assert np.isfinite(float(m1[k])), k
+
+    # Same seeds at factor 1: the seg loss is untouched by the pooling
+    # (identical G forward + loss), while D sees a different input.
+    cfg0 = tiny_config(
+        adversarial__enabled=True, augment__pipeline="no_new_aug"
+    )
+    step0 = jax.jit(make_train_step(cfg0, g_sched, d_sched))
+    state0, m0 = step0(
+        build_state(cfg0, with_disc=True), batch, jax.random.PRNGKey(0)
+    )
+    assert float(m0["loss_seg"]) == pytest.approx(float(m1["loss_seg"]), rel=1e-6)
+    assert float(m0["loss_d"]) != pytest.approx(float(m1["loss_d"]), rel=1e-9)
+
+
+def test_disc_downsample_validation():
+    cfg = tiny_config(
+        adversarial__enabled=True, adversarial__disc_downsample=0
+    )
+    with pytest.raises(ValueError, match="disc_downsample"):
+        make_train_step(cfg, poly_lr_schedule(1e-3, 10), poly_lr_schedule(1e-4, 10))
