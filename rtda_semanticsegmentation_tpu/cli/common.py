@@ -88,6 +88,12 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
                    help="Host decode threads (reference "
                         "DATALOADER_NUM_WORKERS; -1 = auto-size to "
                         "min(32, cpu_count), the default).")
+    p.add_argument("--decoded_cache_dir", type=str,
+                   help="Directory for the decoded-sample disk cache: "
+                        "decode each PNG once (epoch 1), then serve raw "
+                        "post-resize tensors at 46x the decode rate. For "
+                        "decode-bound hosts; budget 6.5 MB/sample at "
+                        "1280x720.")
     p.add_argument("--train_size", type=int, nargs=2, metavar=("H", "W"),
                    help="Training resize override for ANY train dataset "
                         "(defaults: GTA5 720 1280 / Cityscapes 512 1024, "
@@ -105,12 +111,12 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
                         "train steps (written under the log dir).")
     if adversarial:
         p.add_argument("--disc_downsample", type=int, default=None,
-                       help="Average-pool the softmax maps by this factor "
-                            "before the discriminator (1 = reference "
-                            "parity: full-resolution output-space maps). "
-                            "The FC-Discriminator is ~1/3 of the flagship "
-                            "step; factor 8 removes nearly all of it — "
-                            "see PERFORMANCE.md.")
+                       help="Block-average the generator logits by this "
+                            "factor before the softmax feeding the "
+                            "discriminator (1 = reference parity: "
+                            "full-resolution output-space maps; factor 8 "
+                            "= 1.17x flagship step, factor 2 loses — "
+                            "PERFORMANCE.md).")
     p.add_argument("--no_halt_on_nonfinite", action="store_true",
                    default=None,
                    help="Keep training through NaN/Inf losses instead of "
@@ -165,6 +171,7 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
         gta5_path=args.gta5_path, train_dataset=args.train_dataset,
         val_dataset=args.val_dataset, eval_batch_size=args.eval_batch_size,
         num_workers=args.num_workers,
+        decoded_cache_dir=args.decoded_cache_dir,
         train_size_override=tuple(args.train_size) if args.train_size else None,
         eval_size_override=tuple(args.eval_size) if args.eval_size else None)
     rep("train", epochs=args.epochs, batch_size=args.batch_size,

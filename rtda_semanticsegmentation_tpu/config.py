@@ -97,6 +97,11 @@ class DataConfig:
     # when the library builds, 'on' requires it, 'off' forces PIL. Both
     # paths are bit-identical (tests/test_native_data.py).
     native_decode: str = "auto"
+    # Decoded-sample disk cache (data/cache.py): decode each PNG once, then
+    # serve raw post-resize tensors (46x per sample vs full-res
+    # PNG inflate — PERFORMANCE.md "Host data path"). Point it at fast
+    # local storage; budget 6.5 MB/sample at 1280x720. None = off.
+    decoded_cache_dir: Optional[str] = None
 
     def resolved_num_workers(self) -> int:
         if self.num_workers > 0:

@@ -9,6 +9,7 @@ from .labels import (
     rgb_label_to_train_ids,
     train_ids_to_rgb,
 )
+from .cache import DecodedCacheDataset
 from .datasets import (
     CityscapesDataset,
     GTA5Dataset,

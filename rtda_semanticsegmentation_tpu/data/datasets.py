@@ -282,24 +282,37 @@ def build_dataset(
     size: Tuple[int, int],
     data_cfg,
 ) -> SegmentationDataset:
-    """Dataset factory (reference ``data_loader.py:53-224`` dispatch)."""
+    """Dataset factory (reference ``data_loader.py:53-224`` dispatch).
+
+    ``data.decoded_cache_dir`` wraps the file-backed datasets in the
+    decoded-sample disk cache (``data/cache.py``): decode each PNG once,
+    then serve raw bytes — for decode-bound hosts (PERFORMANCE.md "Host
+    data path"). Synthetic data is generated, not decoded; never cached.
+    """
     native_mode = getattr(data_cfg, "native_decode", "auto")
     if name == "cityscapes":
-        return CityscapesDataset(
+        ds = CityscapesDataset(
             data_cfg.cityscapes_path, split, size, native_decode=native_mode
         )
-    if name == "gta5":
-        return GTA5Dataset(
+    elif name == "gta5":
+        ds = GTA5Dataset(
             data_cfg.gta5_path,
             data_cfg.gta5_labels_subdir,
             data_cfg.gta5_convert_on_the_fly,
             size,
             native_decode=native_mode,
         )
-    if name == "synthetic":
+    elif name == "synthetic":
         return SyntheticDataset(
             length=getattr(data_cfg, "synthetic_length", 64), size=size
         )
-    raise ValueError(
-        f"unknown dataset {name!r}; options: cityscapes, gta5, synthetic"
-    )
+    else:
+        raise ValueError(
+            f"unknown dataset {name!r}; options: cityscapes, gta5, synthetic"
+        )
+    cache_dir = getattr(data_cfg, "decoded_cache_dir", None)
+    if cache_dir:
+        from .cache import DecodedCacheDataset
+
+        ds = DecodedCacheDataset(ds, cache_dir)
+    return ds

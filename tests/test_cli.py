@@ -138,3 +138,9 @@ def test_disc_downsample_flag_adversarial_only():
     assert parse([], adversarial=True).adversarial.disc_downsample == 1
     with pytest.raises(SystemExit):
         parse(["--disc_downsample", "8"])  # vanilla CLI: unknown flag
+
+
+def test_decoded_cache_dir_flag():
+    assert parse([]).data.decoded_cache_dir is None
+    cfg = parse(["--decoded_cache_dir", "/fast/cache"])
+    assert cfg.data.decoded_cache_dir == "/fast/cache"

@@ -228,3 +228,79 @@ def test_cityscapes_warns_and_skips_missing_labels(tmp_path):
     with pytest.warns(UserWarning, match="no matching label"):
         ds = CityscapesDataset(str(root), "val", size=(32, 64))
     assert len(ds) == 1
+
+
+class TestDecodedCache:
+    def _cached(self, cityscapes_root, tmp_path, size=(32, 64)):
+        from rtda_semanticsegmentation_tpu.data.cache import DecodedCacheDataset
+
+        base = CityscapesDataset(cityscapes_root, "val", size=size)
+        return base, DecodedCacheDataset(base, str(tmp_path / "cache"))
+
+    def test_roundtrip_bit_exact_and_populates(self, cityscapes_root, tmp_path):
+        base, cached = self._cached(cityscapes_root, tmp_path)
+        for i in range(len(base)):
+            img_b, lab_b = base.load(i)
+            img_c, lab_c = cached.load(i)  # miss: decodes + writes
+            np.testing.assert_array_equal(img_c, img_b)
+            np.testing.assert_array_equal(lab_c, lab_b)
+            assert lab_c.dtype == np.int32
+            assert os.path.exists(cached._entry_path(i))
+        assert os.path.exists(os.path.join(cached.dir, "meta.json"))
+
+    def test_hit_serves_cache_not_source(self, cityscapes_root, tmp_path):
+        base, cached = self._cached(cityscapes_root, tmp_path)
+        img0, lab0 = cached.load(0)  # populate
+        # Overwrite the source PNG; a cache HIT must still return the
+        # originally decoded content.
+        img_p, _ = base.pairs[0]
+        Image.fromarray(np.zeros((H0, W0, 3), np.uint8)).save(img_p)
+        img1, lab1 = cached.load(0)
+        np.testing.assert_array_equal(img1, img0)
+        np.testing.assert_array_equal(lab1, lab0)
+        # A fresh uncached dataset sees the new source (sanity).
+        img_fresh, _ = base.load(0)
+        assert img_fresh.max() == 0
+
+    def test_corrupt_entry_falls_back_and_heals(self, cityscapes_root, tmp_path):
+        base, cached = self._cached(cityscapes_root, tmp_path)
+        img0, lab0 = cached.load(1)
+        p = cached._entry_path(1)
+        with open(p, "wb") as f:
+            f.write(b"garbage")
+        img1, lab1 = cached.load(1)  # invalid entry -> decode path
+        np.testing.assert_array_equal(img1, img0)
+        np.testing.assert_array_equal(lab1, lab0)
+        assert os.path.getsize(p) > 64  # rewritten (healed)
+
+    def test_size_and_dataset_key_separation(self, cityscapes_root, tmp_path):
+        _, c1 = self._cached(cityscapes_root, tmp_path, size=(32, 64))
+        _, c2 = self._cached(cityscapes_root, tmp_path, size=(16, 32))
+        assert c1.dir != c2.dir
+        a, _ = c1.load(0)
+        b, _ = c2.load(0)
+        assert a.shape == (32, 64, 3) and b.shape == (16, 32, 3)
+
+    def test_factory_wraps_real_but_not_synthetic(self, cityscapes_root, tmp_path):
+        import dataclasses as dc
+
+        from rtda_semanticsegmentation_tpu.config import ExperimentConfig
+        from rtda_semanticsegmentation_tpu.data.cache import DecodedCacheDataset
+        from rtda_semanticsegmentation_tpu.data.datasets import build_dataset
+
+        cfg = ExperimentConfig()
+        dcfg = dc.replace(
+            cfg.data,
+            cityscapes_path=cityscapes_root,
+            decoded_cache_dir=str(tmp_path / "cache"),
+        )
+        ds = build_dataset("cityscapes", "val", (32, 64), dcfg)
+        assert isinstance(ds, DecodedCacheDataset)
+        syn = build_dataset("synthetic", "train", (32, 64), dcfg)
+        assert not isinstance(syn, DecodedCacheDataset)
+
+    def test_loader_integration(self, cityscapes_root, tmp_path):
+        _, cached = self._cached(cityscapes_root, tmp_path)
+        batches = list(Loader(cached, batch_size=2, shuffle=False,
+                              drop_last=False, num_workers=2, seed=0))
+        assert sum(b["image"].shape[0] for b in batches) == len(cached)
