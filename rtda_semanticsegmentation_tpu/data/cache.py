@@ -16,9 +16,14 @@ dev runner at 1280x720: 1.81 ms/sample warm (552 samples/s/thread) vs the
 Correctness properties:
 
 - The cache directory is keyed by a fingerprint of the dataset identity
-  (class, resize target, label mode, and the full ordered pair list), so
-  different datasets/splits/sizes never collide and a changed source tree
-  gets a fresh key.
+  (class, resize target, label mode, and the full ordered pair list with
+  each file's size + mtime), so different datasets/splits/sizes never
+  collide and re-generated source files (e.g. re-run label preprocessing)
+  get a fresh key instead of being served stale. Only an edit that
+  preserves a file's path, byte length, AND mtime goes undetected.
+- A read-only or full cache disk degrades to the plain decode path
+  (reads still hit a pre-built cache; writes are best-effort) — the cache
+  is an accelerator, never a requirement.
 - Writes are atomic (temp file + ``os.replace``): a crash mid-write leaves
   no corrupt entry, and concurrent loader threads writing the same index
   are safe.
@@ -53,8 +58,15 @@ def _fingerprint(base: SegmentationDataset) -> str:
     h.update(repr(tuple(base.size)).encode())
     h.update(repr(getattr(base, "convert_on_the_fly", None)).encode())
     for img_p, lab_p in base.pairs:
-        h.update(img_p.encode())
-        h.update(lab_p.encode())
+        for p in (img_p, lab_p):
+            h.update(p.encode())
+            # Size + mtime: re-generated/replaced source files change the
+            # key (served fresh) instead of being served stale.
+            try:
+                st = os.stat(p)
+                h.update(struct.pack("<qq", st.st_size, st.st_mtime_ns))
+            except OSError:
+                h.update(b"?")
     hh, ww = base.size
     return f"{type(base).__name__.lower()}_{hh}x{ww}_{h.hexdigest()[:16]}"
 
@@ -75,22 +87,42 @@ class DecodedCacheDataset(SegmentationDataset):
         self.dir = os.path.join(
             os.path.abspath(cache_dir), _fingerprint(base)
         )
-        os.makedirs(self.dir, exist_ok=True)
-        meta_path = os.path.join(self.dir, "meta.json")
-        if not os.path.exists(meta_path):
-            tmp = meta_path + f".tmp.{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump(
-                    {
-                        "dataset": type(base).__name__,
-                        "size": list(self.size),
-                        "num_samples": len(base),
-                        "first_pair": list(base.pairs[0]) if base.pairs else [],
-                    },
-                    f,
-                    indent=1,
+        # Accelerator, not a requirement: an uncreatable cache directory
+        # (read-only mount, full disk) degrades to the plain decode path —
+        # but reads from an existing pre-built directory still work.
+        self._writable = True
+        try:
+            os.makedirs(self.dir, exist_ok=True)
+        except OSError as e:
+            if not os.path.isdir(self.dir):
+                import warnings
+
+                warnings.warn(
+                    f"decoded cache disabled: cannot create {self.dir} ({e})"
                 )
-            os.replace(tmp, meta_path)
+            self._writable = False
+        meta_path = os.path.join(self.dir, "meta.json")
+        if self._writable and not os.path.exists(meta_path):
+            tmp = meta_path + f".tmp.{os.getpid()}"
+            try:
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "dataset": type(base).__name__,
+                            "size": list(self.size),
+                            "num_samples": len(base),
+                            "first_pair": (
+                                list(base.pairs[0]) if base.pairs else []
+                            ),
+                        },
+                        f,
+                        indent=1,
+                    )
+                os.replace(tmp, meta_path)
+            except OSError:
+                # meta.json is informational; a read-only pre-built cache
+                # without one still serves entries.
+                self._writable = False
 
     def __len__(self) -> int:
         return len(self.base)
@@ -157,5 +189,65 @@ class DecodedCacheDataset(SegmentationDataset):
         if cached is not None:
             return cached
         img, label = self.base.load(index)
-        self._write(path, img, label)
+        if self._writable:
+            self._write(path, img, label)
         return img, label
+
+
+def main(argv=None) -> None:
+    """Prewarm CLI: populate the cache with every host thread before
+    training, instead of paying the decode inside epoch 1::
+
+        python -m rtda_semanticsegmentation_tpu.data.cache \\
+            --dataset gta5 --split train --gta5_path ... --cache_dir ...
+    """
+    import argparse
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..config import DataConfig
+    from .datasets import build_dataset
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--dataset", choices=("gta5", "cityscapes"), required=True)
+    p.add_argument("--split", default="train",
+                   help="cityscapes split (gta5 has a single split)")
+    p.add_argument("--gta5_path", default=DataConfig.gta5_path)
+    p.add_argument("--cityscapes_path", default=DataConfig.cityscapes_path)
+    p.add_argument("--size", type=int, nargs=2, metavar=("H", "W"),
+                   default=None,
+                   help="resize target (defaults: GTA5 720 1280, "
+                        "Cityscapes 512 1024 — the training sizes)")
+    p.add_argument("--cache_dir", required=True)
+    p.add_argument("--num_workers", type=int, default=-1,
+                   help="-1 = min(32, cpu_count)")
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    dcfg = DataConfig()
+    dcfg = dataclasses.replace(
+        dcfg,
+        gta5_path=args.gta5_path,
+        cityscapes_path=args.cityscapes_path,
+        decoded_cache_dir=args.cache_dir,
+        num_workers=args.num_workers,
+    )
+    size = tuple(args.size) if args.size else (
+        dcfg.gta5_size if args.dataset == "gta5" else dcfg.cityscapes_size
+    )
+    ds = build_dataset(args.dataset, args.split, size, dcfg)
+    n, workers = len(ds), dcfg.resolved_num_workers()
+    print(f"prewarming {n} samples at {size} into {ds.dir} "
+          f"({workers} threads)")
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(workers) as pool:
+        for i, _ in enumerate(pool.map(ds.load, range(n)), 1):
+            if i % 200 == 0 or i == n:
+                dt = time.perf_counter() - t0
+                print(f"  {i}/{n} ({i / dt:.1f} samples/s)", flush=True)
+    print(f"done in {time.perf_counter() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -533,6 +533,20 @@ def run_experiment(
     # calls align); single-process checks the local flag every step.
     PREEMPT_SYNC_EVERY = 16
     preempted = False
+
+    def check_finite_or_halt(scalars: Dict[str, float], step: int, where: str):
+        """The non-finite guard, flushing any in-flight profiler trace
+        first — the captured profile is the main debugging artifact for
+        exactly this failure and must not be lost to the raise."""
+        nonlocal trace_stop_after
+        try:
+            _check_finite(scalars, step, where)
+        except NonFiniteLossError:
+            if trace_stop_after is not None:
+                jax.profiler.stop_trace()
+                trace_stop_after = None
+            raise
+
     with GracefulPreemption() as preempt:
         for epoch in range(start_epoch, t.epochs):
             t0 = time.time()
@@ -585,7 +599,7 @@ def run_experiment(
                     }
                     logger.log(host, host_step)
                     if t.halt_on_nonfinite:
-                        _check_finite(host, host_step, "batch log point")
+                        check_finite_or_halt(host, host_step, "batch log point")
                 watch_freq = cfg.obs.watch_freq_steps
                 if watch_freq > 0 and host_step % watch_freq == 0:
                     logger.log(
@@ -615,7 +629,7 @@ def run_experiment(
             if t.halt_on_nonfinite:
                 # Catches divergence in epochs shorter than print_freq_batch
                 # (a NaN in any batch makes the running mean NaN).
-                _check_finite(epoch_means, int(state.step), "epoch mean")
+                check_finite_or_halt(epoch_means, int(state.step), "epoch mean")
             say(
                 f"epoch {epoch + 1}/{t.epochs} "
                 + " ".join(

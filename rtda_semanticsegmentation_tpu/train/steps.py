@@ -274,16 +274,17 @@ def make_train_step(
         preds, g_pullback, new_bs = jax.vjp(g_forward, g.params, has_aux=True)
         pred_s0, pred_t0 = preds[0], preds[1]
         pool = cfg.adversarial.disc_downsample
-        sm_s = jax.lax.stop_gradient(
-            jax.nn.softmax(
-                _block_mean(pred_s0, pool).astype(jnp.float32), axis=-1
-            )
-        ).astype(compute_dtype)
-        sm_t = jax.lax.stop_gradient(
-            jax.nn.softmax(
-                _block_mean(pred_t0, pool).astype(jnp.float32), axis=-1
-            )
-        ).astype(compute_dtype)
+
+        def disc_input(pred):
+            """What D consumes: softmax of the (optionally block-mean
+            pooled) logits, in compute dtype (reference train.py:249-307;
+            pooling is the disc_downsample opt-in)."""
+            return jax.nn.softmax(
+                _block_mean(pred, pool).astype(jnp.float32), axis=-1
+            ).astype(compute_dtype)
+
+        sm_s = jax.lax.stop_gradient(disc_input(pred_s0))
+        sm_t = jax.lax.stop_gradient(disc_input(pred_t0))
 
         def d_loss_fn(d_params):
             # Two separate D calls; a single batched call over
@@ -308,9 +309,7 @@ def make_train_step(
             loss_seg, parts = _seg_loss(
                 pred_s, labels_s, cfg, aux=live_preds[2:], mesh_ctx=mesh_ctx
             )
-            sm_t_live = jax.nn.softmax(
-                _block_mean(pred_t, pool).astype(jnp.float32), axis=-1
-            ).astype(compute_dtype)
+            sm_t_live = disc_input(pred_t)
             d_out = new_d.apply_fn({"params": new_d.params}, sm_t_live)
             loss_adv = bce_with_logits(d_out, REAL_LABEL)
             total = loss_seg + cfg.adversarial.lambda_adv * loss_adv

@@ -304,3 +304,41 @@ class TestDecodedCache:
         batches = list(Loader(cached, batch_size=2, shuffle=False,
                               drop_last=False, num_workers=2, seed=0))
         assert sum(b["image"].shape[0] for b in batches) == len(cached)
+
+
+def test_decoded_cache_regenerated_source_gets_fresh_key(cityscapes_root, tmp_path):
+    """Re-generated source files (new mtime/size) must change the cache
+    key — a new run decodes fresh content instead of serving stale bytes."""
+    import time as _time
+
+    from rtda_semanticsegmentation_tpu.data.cache import DecodedCacheDataset
+
+    base = CityscapesDataset(cityscapes_root, "val", size=(32, 64))
+    c1 = DecodedCacheDataset(base, str(tmp_path / "cache"))
+    img_old, _ = c1.load(0)
+    img_p, _ = base.pairs[0]
+    _time.sleep(0.01)  # ensure a distinct mtime
+    Image.fromarray(np.zeros((H0, W0, 3), np.uint8)).save(img_p)
+    base2 = CityscapesDataset(cityscapes_root, "val", size=(32, 64))
+    c2 = DecodedCacheDataset(base2, str(tmp_path / "cache"))
+    assert c2.dir != c1.dir
+    img_new, _ = c2.load(0)
+    assert img_new.max() == 0 and img_old.max() > 0
+
+
+def test_cache_prewarm_cli(cityscapes_root, tmp_path, capsys):
+    from rtda_semanticsegmentation_tpu.data.cache import main as cache_main
+
+    cache_main([
+        "--dataset", "cityscapes", "--split", "val",
+        "--cityscapes_path", cityscapes_root,
+        "--size", "32", "64",
+        "--cache_dir", str(tmp_path / "cache"),
+        "--num_workers", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "prewarming 3 samples" in out and "done in" in out
+    import glob as _glob
+
+    bins = _glob.glob(str(tmp_path / "cache" / "*" / "*.bin"))
+    assert len(bins) == 3

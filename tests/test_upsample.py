@@ -85,3 +85,44 @@ class TestFusedArgmax:
             lambda a: upsample_bilinear_argmax(a, (32, 32))
         )(x)
         assert out.shape == (1, 32, 32)
+
+
+def _np_bilinear_upsample(x: np.ndarray, fh: int, fw: int) -> np.ndarray:
+    """Pure-numpy half-pixel-center bilinear upsample with clamp-to-edge
+    (the CLAUDE.md numpy oracle for ops/upsample.py — independent of any
+    JAX implementation)."""
+    b, h, w, c = x.shape
+
+    def interp_axis(arr, n, f, axis):
+        coords = (np.arange(n * f) + 0.5) / f - 0.5
+        lo = np.floor(coords)
+        wt = (coords - lo).astype(np.float64)
+        i0 = np.clip(lo.astype(int), 0, n - 1)
+        i1 = np.clip(lo.astype(int) + 1, 0, n - 1)
+        a0 = np.take(arr, i0, axis=axis)
+        a1 = np.take(arr, i1, axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = n * f
+        wt = wt.reshape(shape)
+        return (1.0 - wt) * a0 + wt * a1
+
+    y = interp_axis(x.astype(np.float64), h, fh, 1)
+    y = interp_axis(y, w, fw, 2)
+    return y.astype(np.float32)
+
+
+class TestNumpyOracle:
+    @pytest.mark.parametrize("fh,fw", [(8, 8), (2, 4), (1, 2), (3, 3)])
+    def test_full_field_matches_numpy(self, fh, fw):
+        rng = np.random.RandomState(5)
+        x = rng.randn(2, 5, 6, 7).astype(np.float32)
+        ours = np.asarray(_full_field(jnp.asarray(x), fh, fw))
+        want = _np_bilinear_upsample(x, fh, fw)
+        np.testing.assert_allclose(ours, want, atol=1e-5, rtol=1e-5)
+
+    def test_fused_argmax_matches_numpy(self):
+        rng = np.random.RandomState(6)
+        x = rng.randn(1, 4, 6, 19).astype(np.float32)
+        preds = np.asarray(upsample_bilinear_argmax(jnp.asarray(x), (16, 24)))
+        want = np.argmax(_np_bilinear_upsample(x, 4, 4), -1)
+        np.testing.assert_array_equal(preds, want)
