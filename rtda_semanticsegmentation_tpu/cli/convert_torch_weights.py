@@ -1,16 +1,27 @@
-"""Offline torch -> flax backbone weight converter.
+"""Offline torch -> flax weight converter.
 
-Converts a torch checkpoint (torchvision ResNet-18/101 ImageNet weights, or
-the caffe-style DeepLab ResNet-101 ``.pth`` the reference requires at
-``models/deeplabv2/DeepLab_resnet_pretrained_imagenet.pth``,
-reference ``config.py:41-43``) into a flax-path-keyed ``.npz`` consumed by
-``--pretrained_backbone``.
+Two modes, both emitting a flax-path-keyed ``.npz`` consumed by
+``--pretrained_backbone`` (training warm-start or ``cli.predict``):
+
+- default: backbone-only — torchvision ResNet-18/101 ImageNet weights, or
+  the caffe-style DeepLab ResNet-101 ``.pth`` the reference requires at
+  ``models/deeplabv2/DeepLab_resnet_pretrained_imagenet.pth``
+  (reference ``config.py:41-43``).
+- ``--full``: a complete reference TRAINING checkpoint
+  (``best_miou_checkpoint.pth`` / ``checkpoint.pth``, vanilla or
+  adversarial container) — every generator module converts (spatial path,
+  ARMs, FFM, heads, trunk; or DeepLabV2 trunk + ASPP), so
+  reference-trained models serve here without retraining.
 
 Usage::
 
     python -m rtda_semanticsegmentation_tpu.cli.convert_torch_weights \
         --torch_checkpoint resnet18-f37072fd.pth --model bisenet \
         --depth 18 --output resnet18_imagenet.npz
+
+    python -m rtda_semanticsegmentation_tpu.cli.convert_torch_weights \
+        --torch_checkpoint best_miou_checkpoint.pth --model bisenet \
+        --full --output bisenet_trained.npz
 """
 
 from __future__ import annotations
@@ -26,6 +37,9 @@ def main(argv=None):
     p.add_argument("--depth", type=int, choices=(18, 101), default=None,
                    help="ResNet depth (default: 18 for bisenet, 101 for deeplabv2)")
     p.add_argument("--output", required=True, help="Output .npz path")
+    p.add_argument("--full", action="store_true",
+                   help="Convert a complete reference TRAINING checkpoint "
+                        "(every generator module), not just the backbone.")
     args = p.parse_args(argv)
 
     depth = args.depth or (18 if args.model == "bisenet" else 101)
@@ -33,13 +47,20 @@ def main(argv=None):
     import numpy as np
     import torch
 
-    from ..models.convert import convert_torch_checkpoint
+    from ..models.convert import (
+        convert_full_torch_checkpoint,
+        convert_torch_checkpoint,
+        unwrap_reference_checkpoint,
+    )
 
     obj = torch.load(args.torch_checkpoint, map_location="cpu", weights_only=False)
-    state = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    state = unwrap_reference_checkpoint(obj)
     state = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in state.items()}
 
-    arrays = convert_torch_checkpoint(state, args.model, depth)
+    if args.full:
+        arrays = convert_full_torch_checkpoint(state, args.model, depth)
+    else:
+        arrays = convert_torch_checkpoint(state, args.model, depth)
     if not arrays:
         print("error: no convertible keys found in checkpoint", file=sys.stderr)
         sys.exit(1)

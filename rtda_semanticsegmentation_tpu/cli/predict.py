@@ -85,7 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the default run directory name).")
     p.add_argument("--restore", choices=("best", "latest"), default="best")
     p.add_argument("--pretrained_backbone", default=None,
-                   help="Converted .npz backbone weights (debug runs).")
+                   help="Converted .npz weights (convert_torch_weights): a "
+                        "backbone for debug runs, or a --full conversion "
+                        "of a reference-trained checkpoint to serve it "
+                        "directly without any retraining.")
     p.add_argument("--size", type=int, nargs=2, default=(512, 1024),
                    metavar=("H", "W"), help="Model input size.")
     p.add_argument("--batch_size", type=int, default=8)

@@ -113,6 +113,133 @@ def convert_torch_checkpoint(
     return convert_resnet_state_dict(state, depth, root)
 
 
+def _t_conv(w: np.ndarray) -> np.ndarray:
+    """torch (O, I, kH, kW) -> flax (kH, kW, I, O)."""
+    return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def _map_convbn(state, tp: str, fp: str, out) -> None:
+    """Reference ``ConvBlock`` (conv1 WITH bias -> bn -> relu,
+    ``build_bisenet.py:9-19``) onto our bias-free ``ConvBN``.
+
+    Exact bias fold: BN tracks statistics of ``Wx + b``, so the identical
+    no-bias module is BN'(Wx) with ``running_mean' = running_mean - b``
+    (same variance, same affine) — eval outputs are bit-equal and training
+    continues with consistent statistics.
+    """
+    out[f"params/{fp}/conv/kernel"] = _t_conv(state[f"{tp}.conv1.weight"])
+    mean = np.asarray(state[f"{tp}.bn.running_mean"])
+    bias_k = f"{tp}.conv1.bias"
+    if bias_k in state:
+        mean = mean - np.asarray(state[bias_k])
+    out[f"params/{fp}/bn/scale"] = np.asarray(state[f"{tp}.bn.weight"])
+    out[f"params/{fp}/bn/bias"] = np.asarray(state[f"{tp}.bn.bias"])
+    out[f"batch_stats/{fp}/bn/mean"] = mean
+    out[f"batch_stats/{fp}/bn/var"] = np.asarray(
+        state[f"{tp}.bn.running_var"]
+    )
+
+
+def _map_conv_bias(state, tp: str, fp: str, out) -> None:
+    """Plain ``nn.Conv2d`` (bias kept on both sides)."""
+    out[f"params/{fp}/kernel"] = _t_conv(state[f"{tp}.weight"])
+    out[f"params/{fp}/bias"] = np.asarray(state[f"{tp}.bias"])
+
+
+def convert_full_torch_checkpoint(
+    state: Dict[str, np.ndarray], model_name: str, depth: int
+) -> Dict[str, np.ndarray]:
+    """Convert a FULLY-TRAINED reference generator checkpoint — every
+    module, not just the backbone — so reference-trained models serve and
+    warm-start here without retraining.
+
+    Key-name parity (reference module attributes):
+
+    - BiSeNet (``build_bisenet.py:85-117``): ``saptial_path.convblock{1-3}``
+      (the load-bearing typo), ``attention_refinement_module{1,2}``,
+      ``supervision{1,2}``, ``feature_fusion_module.{convblock,conv1,conv2}``,
+      final ``conv``, and the trunk under ``context_path.features.*``
+      (``build_contextpath.py:8-16``; the same modules are aliased at
+      ``context_path.conv1`` etc. — shared tensors, skipped).
+    - DeepLabV2 (``deeplabv2.py:66-88``): torchvision-style trunk keys at
+      the top level plus ``layer6.conv2d_list.{0-3}`` (ASPP) -> ``aspp/branch{0-3}``.
+
+    Returns the flat flax-path dict ``load_npz_into_variables`` consumes
+    (the ``--pretrained_backbone`` flag accepts it; with a full conversion
+    it warm-starts or serves the complete model).
+    """
+    state = {k: np.asarray(v) for k, v in state.items()}
+    out: Dict[str, np.ndarray] = {}
+    if model_name == "bisenet":
+        for i in (1, 2, 3):
+            _map_convbn(
+                state, f"saptial_path.convblock{i}",
+                f"spatial_path/convblock{i}", out,
+            )
+        for i in (1, 2):
+            arm = f"attention_refinement_module{i}"
+            out[f"params/arm{i}/conv/kernel"] = _t_conv(
+                state[f"{arm}.conv.weight"]
+            )
+            out[f"params/arm{i}/conv/bias"] = np.asarray(
+                state[f"{arm}.conv.bias"]
+            )
+            out[f"params/arm{i}/bn/scale"] = np.asarray(
+                state[f"{arm}.bn.weight"]
+            )
+            out[f"params/arm{i}/bn/bias"] = np.asarray(state[f"{arm}.bn.bias"])
+            out[f"batch_stats/arm{i}/bn/mean"] = np.asarray(
+                state[f"{arm}.bn.running_mean"]
+            )
+            out[f"batch_stats/arm{i}/bn/var"] = np.asarray(
+                state[f"{arm}.bn.running_var"]
+            )
+            _map_conv_bias(state, f"supervision{i}", f"supervision{i}", out)
+        _map_convbn(
+            state, "feature_fusion_module.convblock", "ffm/convblock", out
+        )
+        _map_conv_bias(state, "feature_fusion_module.conv1", "ffm/conv1", out)
+        _map_conv_bias(state, "feature_fusion_module.conv2", "ffm/conv2", out)
+        _map_conv_bias(state, "conv", "final_conv", out)
+        trunk = {
+            k[len("context_path.features."):]: v
+            for k, v in state.items()
+            if k.startswith("context_path.features.")
+        }
+        if not trunk:
+            raise KeyError(
+                "no context_path.features.* keys — not a reference BiSeNet "
+                "checkpoint? (use convert_torch_checkpoint for plain "
+                "torchvision backbones)"
+            )
+        out.update(
+            convert_resnet_state_dict(trunk, depth, "context_path/resnet")
+        )
+    elif model_name == "deeplabv2":
+        out.update(convert_resnet_state_dict(state, depth, "resnet"))
+        for i in range(4):
+            _map_conv_bias(
+                state, f"layer6.conv2d_list.{i}", f"aspp/branch{i}", out
+            )
+    else:
+        raise ValueError(f"unknown model {model_name!r}")
+    return out
+
+
+def unwrap_reference_checkpoint(obj) -> Dict[str, np.ndarray]:
+    """Pull the generator state_dict out of a reference training
+    checkpoint container: ``model_state_dict`` (vanilla, ``main.py:436``)
+    or ``model_G_state_dict`` (adversarial, ``main_adversarial.py:396``;
+    the same fallback order as ``utils.py:443-446``). A bare state_dict
+    passes through.
+    """
+    if isinstance(obj, dict):
+        for key in ("model_state_dict", "model_G_state_dict", "state_dict"):
+            if key in obj:
+                return obj[key]
+    return obj
+
+
 def load_npz_into_variables(variables: dict, path: str, model_name: str) -> dict:
     """Graft converted arrays into a freshly-initialized variables pytree.
 
@@ -126,6 +253,11 @@ def load_npz_into_variables(variables: dict, path: str, model_name: str) -> dict
     loaded = 0
     for key in arrays.files:
         if key not in flat:
+            # The aux supervision heads exist only in train-mode trees
+            # (bisenet.py: defined under `if train:` — reference parity);
+            # an eval-mode graft (cli/predict.py) legitimately lacks them.
+            if key.startswith("params/supervision"):
+                continue
             raise KeyError(
                 f"npz key {key!r} not found in {model_name} variables - "
                 "wrong --model or a converter/model naming drift"

@@ -175,3 +175,225 @@ def test_pretrained_backbone_e2e_into_bisenet(converted, tmp_path):
     # model still runs with grafted weights
     out = model.apply(loaded, jnp.zeros((1, 64, 64, 3)), False)
     assert out.shape == (1, 64, 64, 19)
+
+
+# ---------------------------------------------------------------------------
+# Full reference-checkpoint conversion (convert_full_torch_checkpoint)
+# ---------------------------------------------------------------------------
+# Torch mirrors of the reference modules with the reference's exact
+# state_dict key names (build_bisenet.py:8-117 incl. the load-bearing
+# 'saptial_path' typo; build_contextpath.py:8-29) — test fixtures only.
+
+
+class TorchConvBlock(tnn.Module):
+    """Reference ConvBlock: conv(bias=True) -> bn -> relu (build_bisenet.py:8-18)."""
+
+    def __init__(self, cin, cout, stride=2):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=True)
+        self.bn = tnn.BatchNorm2d(cout)
+        self.relu = tnn.ReLU()
+
+    def forward(self, x):
+        return self.relu(self.bn(self.conv1(x)))
+
+
+class TorchSpatialPath(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.convblock1 = TorchConvBlock(3, 64)
+        self.convblock2 = TorchConvBlock(64, 128)
+        self.convblock3 = TorchConvBlock(128, 256)
+
+    def forward(self, x):
+        return self.convblock3(self.convblock2(self.convblock1(x)))
+
+
+class TorchARM(tnn.Module):
+    """Reference AttentionRefinementModule (build_bisenet.py:35-53)."""
+
+    def __init__(self, ch):
+        super().__init__()
+        self.conv = tnn.Conv2d(ch, ch, 1)
+        self.bn = tnn.BatchNorm2d(ch)
+        self.sigmoid = tnn.Sigmoid()
+        self.avgpool = tnn.AdaptiveAvgPool2d((1, 1))
+
+    def forward(self, x):
+        g = self.sigmoid(self.bn(self.conv(self.avgpool(x))))
+        return torch.mul(x, g)
+
+
+class TorchFFM(tnn.Module):
+    """Reference FeatureFusionModule (build_bisenet.py:56-81)."""
+
+    def __init__(self, num_classes, cin):
+        super().__init__()
+        self.convblock = TorchConvBlock(cin, num_classes, stride=1)
+        self.conv1 = tnn.Conv2d(num_classes, num_classes, 1)
+        self.relu = tnn.ReLU()
+        self.conv2 = tnn.Conv2d(num_classes, num_classes, 1)
+        self.sigmoid = tnn.Sigmoid()
+        self.avgpool = tnn.AdaptiveAvgPool2d((1, 1))
+
+    def forward(self, a, b):
+        feature = self.convblock(torch.cat((a, b), 1))
+        g = self.avgpool(feature)
+        g = self.sigmoid(self.conv2(self.relu(self.conv1(g))))
+        return torch.add(torch.mul(feature, g), feature)
+
+
+class TorchContextPath(tnn.Module):
+    """Reference resnet18 context path (build_contextpath.py:5-29):
+    the trunk lives under the 'features' attribute."""
+
+    def __init__(self):
+        super().__init__()
+        self.features = TorchResNet18Features()
+
+    def forward(self, x):
+        c3, c4 = self.features(x)
+        tail = torch.mean(torch.mean(c4, 3, keepdim=True), 2, keepdim=True)
+        return c3, c4, tail
+
+
+class TorchBiSeNet(tnn.Module):
+    """Reference BiSeNet eval forward (build_bisenet.py:85-170), r18."""
+
+    def __init__(self, num_classes=19):
+        super().__init__()
+        self.saptial_path = TorchSpatialPath()
+        self.context_path = TorchContextPath()
+        self.attention_refinement_module1 = TorchARM(256)
+        self.attention_refinement_module2 = TorchARM(512)
+        self.supervision1 = tnn.Conv2d(256, num_classes, 1)
+        self.supervision2 = tnn.Conv2d(512, num_classes, 1)
+        self.feature_fusion_module = TorchFFM(num_classes, 1024)
+        self.conv = tnn.Conv2d(num_classes, num_classes, 1)
+
+    def forward(self, x):
+        sx = self.saptial_path(x)
+        cx1, cx2, tail = self.context_path(x)
+        cx1 = self.attention_refinement_module1(cx1)
+        cx2 = self.attention_refinement_module2(cx2)
+        cx2 = torch.mul(cx2, tail)
+        size = sx.size()[-2:]
+        cx1 = torch.nn.functional.interpolate(cx1, size=size, mode="bilinear")
+        cx2 = torch.nn.functional.interpolate(cx2, size=size, mode="bilinear")
+        cx = torch.cat((cx1, cx2), 1)
+        result = self.feature_fusion_module(sx, cx)
+        result = torch.nn.functional.interpolate(
+            result, scale_factor=8, mode="bilinear"
+        )
+        return self.conv(result)
+
+
+@pytest.fixture(scope="module")
+def full_bisenet_npz(tmp_path_factory):
+    from rtda_semanticsegmentation_tpu.models.convert import (
+        convert_full_torch_checkpoint,
+    )
+
+    torch.manual_seed(1)
+    net = TorchBiSeNet().eval()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    state = {k: v.numpy() for k, v in net.state_dict().items()}
+    arrays = convert_full_torch_checkpoint(state, "bisenet", 18)
+    path = tmp_path_factory.mktemp("full") / "bisenet_full.npz"
+    np.savez(path, **arrays)
+    return net, str(path)
+
+
+def test_full_conversion_forward_parity(full_bisenet_npz):
+    """Converted reference-trained BiSeNet == torch eval forward (the whole
+    model: spatial path + ARMs + FFM + heads + trunk, incl. the conv-bias
+    -> BN-mean fold for the bias-free ConvBN units)."""
+    from rtda_semanticsegmentation_tpu.config import ModelConfig
+    from rtda_semanticsegmentation_tpu.models.convert import (
+        load_npz_into_variables,
+    )
+    from rtda_semanticsegmentation_tpu.models.factory import (
+        build_model,
+        init_model,
+    )
+
+    net, path = full_bisenet_npz
+    model = build_model(
+        ModelConfig(name="bisenet", context_path="resnet18",
+                    compute_dtype="float32")
+    )
+    variables = init_model(model, jax.random.PRNGKey(0), (1, 64, 128, 3),
+                           train=False)
+    variables = load_npz_into_variables(variables, path, "bisenet")
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 64, 128, 3).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), False))
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_full_conversion_warm_start_tree(full_bisenet_npz):
+    """Train-mode graft consumes the supervision heads too (warm-start)."""
+    from rtda_semanticsegmentation_tpu.config import ModelConfig
+    from rtda_semanticsegmentation_tpu.models.convert import (
+        load_npz_into_variables,
+    )
+    from rtda_semanticsegmentation_tpu.models.factory import (
+        build_model,
+        init_model,
+    )
+
+    net, path = full_bisenet_npz
+    model = build_model(
+        ModelConfig(name="bisenet", context_path="resnet18",
+                    compute_dtype="float32")
+    )
+    variables = init_model(model, jax.random.PRNGKey(0), (1, 64, 128, 3),
+                           train=True)
+    grafted = load_npz_into_variables(variables, path, "bisenet")
+    sup = np.asarray(grafted["params"]["supervision1"]["kernel"])
+    want = net.supervision1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(sup, want, rtol=1e-6)
+
+
+def test_full_conversion_deeplab_aspp_mapping():
+    from rtda_semanticsegmentation_tpu.models.convert import (
+        convert_full_torch_checkpoint,
+    )
+
+    rng = np.random.RandomState(2)
+    state = {}
+    for i in range(4):
+        state[f"layer6.conv2d_list.{i}.weight"] = rng.randn(
+            19, 2048, 3, 3
+        ).astype(np.float32)
+        state[f"layer6.conv2d_list.{i}.bias"] = rng.randn(19).astype(
+            np.float32
+        )
+    arrays = convert_full_torch_checkpoint(state, "deeplabv2", 101)
+    for i in range(4):
+        k = arrays[f"params/aspp/branch{i}/kernel"]
+        assert k.shape == (3, 3, 2048, 19)
+        np.testing.assert_allclose(
+            k, state[f"layer6.conv2d_list.{i}.weight"].transpose(2, 3, 1, 0)
+        )
+
+
+def test_unwrap_reference_checkpoint_containers():
+    from rtda_semanticsegmentation_tpu.models.convert import (
+        unwrap_reference_checkpoint,
+    )
+
+    sd = {"conv.weight": np.zeros(1)}
+    assert unwrap_reference_checkpoint({"model_state_dict": sd}) is sd
+    assert unwrap_reference_checkpoint(
+        {"model_G_state_dict": sd, "model_D_state_dict": {}}
+    ) is sd
+    assert unwrap_reference_checkpoint(sd) is sd
