@@ -110,6 +110,10 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
                    help="Capture a jax.profiler timeline trace of N warm "
                         "train steps (written under the log dir).")
     if adversarial:
+        p.add_argument("--pretrained_discriminator", type=str, default=None,
+                       help="Warm-start D from a converted reference "
+                            "adversarial checkpoint (.npz from "
+                            "convert_torch_weights --model discriminator).")
         p.add_argument("--disc_downsample", type=int, default=None,
                        help="Block-average the generator logits by this "
                             "factor before the softmax feeding the "
@@ -195,5 +199,8 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
     rep("mesh", data=args.mesh_data, model=args.mesh_model)
     if adversarial:
         rep("adversarial",
-            disc_downsample=getattr(args, "disc_downsample", None))
+            disc_downsample=getattr(args, "disc_downsample", None),
+            pretrained_discriminator=getattr(
+                args, "pretrained_discriminator", None
+            ))
     return cfg

@@ -33,7 +33,12 @@ import sys
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--torch_checkpoint", required=True)
-    p.add_argument("--model", choices=("bisenet", "deeplabv2"), required=True)
+    p.add_argument("--model",
+                   choices=("bisenet", "deeplabv2", "discriminator"),
+                   required=True,
+                   help="'discriminator' extracts model_D_state_dict from "
+                        "an adversarial checkpoint (implies --full); loads "
+                        "via --pretrained_discriminator.")
     p.add_argument("--depth", type=int, choices=(18, 101), default=None,
                    help="ResNet depth (default: 18 for bisenet, 101 for deeplabv2)")
     p.add_argument("--output", required=True, help="Output .npz path")
@@ -54,10 +59,11 @@ def main(argv=None):
     )
 
     obj = torch.load(args.torch_checkpoint, map_location="cpu", weights_only=False)
-    state = unwrap_reference_checkpoint(obj)
+    disc = args.model == "discriminator"
+    state = unwrap_reference_checkpoint(obj, which="D" if disc else "G")
     state = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in state.items()}
 
-    if args.full:
+    if args.full or disc:
         arrays = convert_full_torch_checkpoint(state, args.model, depth)
     else:
         arrays = convert_torch_checkpoint(state, args.model, depth)

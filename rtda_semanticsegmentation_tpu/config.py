@@ -174,6 +174,12 @@ class AdversarialConfig:
     # by the factor. Measured: see PERFORMANCE.md "Discriminator input
     # downsampling".
     disc_downsample: int = 1
+    # Warm-start the discriminator from a converted reference adversarial
+    # checkpoint (.npz from `convert_torch_weights --model discriminator`).
+    # Optimizer state does not transfer; pair with the generator's
+    # --pretrained_backbone --full conversion for a full cross-framework
+    # warm start.
+    pretrained_discriminator: Optional[str] = None
     disc_optimizer: str = "adam"
     disc_learning_rate: float = 2.5e-5
     disc_adam_b1: float = 0.9

@@ -221,20 +221,32 @@ def convert_full_torch_checkpoint(
             _map_conv_bias(
                 state, f"layer6.conv2d_list.{i}", f"aspp/branch{i}", out
             )
+    elif model_name == "discriminator":
+        # FC-Discriminator: five plain 4x4/s2 convs, 1-1 names
+        # (reference ``discriminator.py:25-48``).
+        for i in (1, 2, 3, 4):
+            _map_conv_bias(state, f"conv{i}", f"conv{i}", out)
+        _map_conv_bias(state, "classifier", "classifier", out)
     else:
         raise ValueError(f"unknown model {model_name!r}")
     return out
 
 
-def unwrap_reference_checkpoint(obj) -> Dict[str, np.ndarray]:
-    """Pull the generator state_dict out of a reference training
-    checkpoint container: ``model_state_dict`` (vanilla, ``main.py:436``)
-    or ``model_G_state_dict`` (adversarial, ``main_adversarial.py:396``;
-    the same fallback order as ``utils.py:443-446``). A bare state_dict
-    passes through.
+def unwrap_reference_checkpoint(obj, which: str = "G") -> Dict[str, np.ndarray]:
+    """Pull a model state_dict out of a reference training checkpoint
+    container. ``which='G'``: ``model_state_dict`` (vanilla,
+    ``main.py:436``) or ``model_G_state_dict`` (adversarial,
+    ``main_adversarial.py:396``; the same fallback order as
+    ``utils.py:443-446``). ``which='D'``: ``model_D_state_dict``
+    (``main_adversarial.py:397``). A bare state_dict passes through.
     """
+    keys = (
+        ("model_state_dict", "model_G_state_dict", "state_dict")
+        if which == "G"
+        else ("model_D_state_dict",)
+    )
     if isinstance(obj, dict):
-        for key in ("model_state_dict", "model_G_state_dict", "state_dict"):
+        for key in keys:
             if key in obj:
                 return obj[key]
     return obj

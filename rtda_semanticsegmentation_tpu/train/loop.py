@@ -191,6 +191,14 @@ class Trainer:
                 jax.random.fold_in(rng, 1),
                 (1, h, w, cfg.model.num_classes),
             )
+            if cfg.adversarial.pretrained_discriminator:
+                from ..models.convert import load_npz_into_variables
+
+                d_vars = load_npz_into_variables(
+                    d_vars,
+                    cfg.adversarial.pretrained_discriminator,
+                    "discriminator",
+                )
             d = ModelState.create(
                 self.disc.apply,
                 d_vars,

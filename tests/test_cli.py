@@ -144,3 +144,11 @@ def test_decoded_cache_dir_flag():
     assert parse([]).data.decoded_cache_dir is None
     cfg = parse(["--decoded_cache_dir", "/fast/cache"])
     assert cfg.data.decoded_cache_dir == "/fast/cache"
+
+
+def test_pretrained_discriminator_flag_adversarial_only():
+    cfg = parse(["--pretrained_discriminator", "/w/d.npz"], adversarial=True)
+    assert cfg.adversarial.pretrained_discriminator == "/w/d.npz"
+    assert parse([], adversarial=True).adversarial.pretrained_discriminator is None
+    with pytest.raises(SystemExit):
+        parse(["--pretrained_discriminator", "/w/d.npz"])

@@ -397,3 +397,60 @@ def test_unwrap_reference_checkpoint_containers():
         {"model_G_state_dict": sd, "model_D_state_dict": {}}
     ) is sd
     assert unwrap_reference_checkpoint(sd) is sd
+
+
+class TorchFCDiscriminator(tnn.Module):
+    """Reference FCDiscriminator key names + eval forward
+    (discriminator.py:25-60)."""
+
+    def __init__(self, num_classes=19, ndf=64):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(num_classes, ndf, 4, 2, 1)
+        self.conv2 = tnn.Conv2d(ndf, ndf * 2, 4, 2, 1)
+        self.conv3 = tnn.Conv2d(ndf * 2, ndf * 4, 4, 2, 1)
+        self.conv4 = tnn.Conv2d(ndf * 4, ndf * 8, 4, 2, 1)
+        self.classifier = tnn.Conv2d(ndf * 8, 1, 4, 2, 1)
+        self.act = tnn.LeakyReLU(0.2)
+
+    def forward(self, x):
+        for conv in (self.conv1, self.conv2, self.conv3, self.conv4):
+            x = self.act(conv(x))
+        return self.classifier(x)
+
+
+def test_discriminator_conversion_forward_parity(tmp_path):
+    from rtda_semanticsegmentation_tpu.config import ModelConfig
+    from rtda_semanticsegmentation_tpu.models.convert import (
+        convert_full_torch_checkpoint,
+        load_npz_into_variables,
+        unwrap_reference_checkpoint,
+    )
+    from rtda_semanticsegmentation_tpu.models.factory import (
+        build_discriminator,
+        init_model,
+    )
+
+    torch.manual_seed(3)
+    net = TorchFCDiscriminator().eval()
+    container = {
+        "model_G_state_dict": {},
+        "model_D_state_dict": {k: v.numpy() for k, v in net.state_dict().items()},
+    }
+    state = unwrap_reference_checkpoint(container, which="D")
+    arrays = convert_full_torch_checkpoint(state, "discriminator", 18)
+    path = str(tmp_path / "d.npz")
+    np.savez(path, **arrays)
+
+    disc = build_discriminator(
+        ModelConfig(name="bisenet", compute_dtype="float32")
+    )
+    d_vars = init_model(disc, jax.random.PRNGKey(0), (1, 64, 64, 19))
+    d_vars = load_npz_into_variables(d_vars, path, "discriminator")
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 64, 64, 19).astype(np.float32)
+    ours = np.asarray(disc.apply(d_vars, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)

@@ -395,3 +395,32 @@ def test_divergent_run_halts_with_diagnostic(tmp_path):
         cfg2, run_name="diverge_ok", measure_performance=False, verbose=False
     )
     assert report is not None
+
+
+def test_pretrained_discriminator_warm_start(tmp_path):
+    import numpy as _np
+
+    from rtda_semanticsegmentation_tpu.train.loop import Trainer
+
+    # Build a donor D npz from a fresh Trainer's own discriminator params.
+    cfg0 = e2e_cfg(tmp_path, adversarial__enabled=True)
+    donor = Trainer(cfg0)
+    flat = {}
+    import flax as _flax
+
+    for k, v in _flax.traverse_util.flatten_dict(
+        {"params": donor.state.discriminator.params}, sep="/"
+    ).items():
+        flat[k] = _np.asarray(v) + 1.0  # make values distinguishable
+    path = tmp_path / "d.npz"
+    _np.savez(path, **flat)
+
+    cfg = e2e_cfg(
+        tmp_path,
+        adversarial__enabled=True,
+        adversarial__pretrained_discriminator=str(path),
+    )
+    tr = Trainer(cfg)
+    got = _np.asarray(tr.state.discriminator.params["conv1"]["bias"])
+    want = _np.asarray(donor.state.discriminator.params["conv1"]["bias"]) + 1.0
+    _np.testing.assert_allclose(got, want)
