@@ -1,17 +1,20 @@
 """Offline torch -> flax weight converter.
 
-Two modes, both emitting a flax-path-keyed ``.npz`` consumed by
-``--pretrained_backbone`` (training warm-start or ``cli.predict``):
+Three modes, each emitting a flax-path-keyed ``.npz``:
 
 - default: backbone-only — torchvision ResNet-18/101 ImageNet weights, or
   the caffe-style DeepLab ResNet-101 ``.pth`` the reference requires at
   ``models/deeplabv2/DeepLab_resnet_pretrained_imagenet.pth``
-  (reference ``config.py:41-43``).
+  (reference ``config.py:41-43``). Loads via ``--pretrained_backbone``.
 - ``--full``: a complete reference TRAINING checkpoint
   (``best_miou_checkpoint.pth`` / ``checkpoint.pth``, vanilla or
   adversarial container) — every generator module converts (spatial path,
   ARMs, FFM, heads, trunk; or DeepLabV2 trunk + ASPP), so
-  reference-trained models serve here without retraining.
+  reference-trained models serve here without retraining. Also loads via
+  ``--pretrained_backbone``.
+- ``--model discriminator``: extracts ``model_D_state_dict`` from an
+  adversarial checkpoint (implies ``--full``). Loads via
+  ``--pretrained_discriminator`` to warm-start UDA training.
 
 Usage::
 
@@ -22,6 +25,10 @@ Usage::
     python -m rtda_semanticsegmentation_tpu.cli.convert_torch_weights \
         --torch_checkpoint best_miou_checkpoint.pth --model bisenet \
         --full --output bisenet_trained.npz
+
+    python -m rtda_semanticsegmentation_tpu.cli.convert_torch_weights \
+        --torch_checkpoint best_miou_checkpoint.pth --model discriminator \
+        --output disc_trained.npz
 """
 
 from __future__ import annotations
@@ -47,6 +54,8 @@ def main(argv=None):
                         "(every generator module), not just the backbone.")
     args = p.parse_args(argv)
 
+    if args.model == "discriminator" and args.depth is not None:
+        p.error("--depth is meaningless for --model discriminator")
     depth = args.depth or (18 if args.model == "bisenet" else 101)
 
     import numpy as np

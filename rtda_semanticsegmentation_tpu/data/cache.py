@@ -162,7 +162,14 @@ class DecodedCacheDataset(SegmentationDataset):
 
     def _write(self, path: str, img: np.ndarray, label: np.ndarray) -> None:
         hh, ww = self.size
-        tmp = path + f".tmp.{os.getpid()}"
+        # Unique per process AND thread: two loader threads can decode the
+        # same not-yet-cached index concurrently (e.g. an abandoned epoch's
+        # pending prefetch racing the next epoch); sharing one tmp name
+        # would interleave their writes and let a reader observe a
+        # hole-filled entry of the right length mid-publish.
+        import threading
+
+        tmp = path + f".tmp.{os.getpid()}.{threading.get_ident()}"
         try:
             with open(tmp, "wb") as f:
                 f.write(_HEADER.pack(_MAGIC, hh, ww))

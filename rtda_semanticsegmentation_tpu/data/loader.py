@@ -108,6 +108,15 @@ class Loader:
         return self._pool
 
     def __iter__(self) -> Iterator[dict]:
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[dict]:
+        """Iterate one epoch starting at batch ``start_batch``.
+
+        Decode is lazy per batch, so skipping the first k batches costs
+        nothing — used to restore an :class:`InfiniteLoader`'s mid-pass
+        position on resume (``set_position``). Advances the epoch counter
+        exactly like ``__iter__``."""
         order = self._order(self.epoch)
         self.epoch += 1
         bs = self.batch_size
@@ -127,7 +136,7 @@ class Loader:
 
         # Software pipelining: decode batch k+1 while batch k is consumed.
         nxt = None
-        for b in range(n_batches):
+        for b in range(start_batch, n_batches):
             cur = nxt if nxt is not None else decode_batch(b)
             if b + 1 < n_batches:
                 fut = self._prefetcher.submit(decode_batch, b + 1)
@@ -154,6 +163,16 @@ class InfiniteLoader:
             )
         self.loader = loader
         self._it = iter(loader)
+
+    def set_position(self, batches_consumed: int) -> None:
+        """Jump the stream to where it would be after ``batches_consumed``
+        batches from a fresh start — pass index AND mid-pass offset (the
+        underlying loader reshuffles per pass with ``seed + pass``), so a
+        resumed UDA run pairs source batches with the same target sequence
+        an uninterrupted run would. Skipped batches are never decoded."""
+        n = len(self.loader)
+        self.loader.set_epoch(batches_consumed // n)
+        self._it = self.loader.iter_from(batches_consumed % n)
 
     def __next__(self) -> dict:
         try:
@@ -193,7 +212,9 @@ def prefetch_to_device(iterator, mesh_ctx=None, depth: int = 2):
     queue = collections.deque()
     it = iter(iterator)
     try:
-        for _ in range(depth):
+        # depth < 1 would prime nothing and yield an EMPTY stream (a silent
+        # zero-batch epoch); the minimum pipeline is one batch in flight.
+        for _ in range(max(1, depth)):
             queue.append(put(next(it)))
     except StopIteration:
         pass

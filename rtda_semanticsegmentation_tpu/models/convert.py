@@ -163,10 +163,13 @@ def convert_full_torch_checkpoint(
       ``context_path.conv1`` etc. — shared tensors, skipped).
     - DeepLabV2 (``deeplabv2.py:66-88``): torchvision-style trunk keys at
       the top level plus ``layer6.conv2d_list.{0-3}`` (ASPP) -> ``aspp/branch{0-3}``.
+    - FC-Discriminator (``discriminator.py:25-48``): ``conv{1-4}`` and
+      ``classifier``, all plain biased convs, names 1-1.
 
-    Returns the flat flax-path dict ``load_npz_into_variables`` consumes
-    (the ``--pretrained_backbone`` flag accepts it; with a full conversion
-    it warm-starts or serves the complete model).
+    Returns the flat flax-path dict ``load_npz_into_variables`` consumes.
+    Generator conversions load via ``--pretrained_backbone`` (warm-start or
+    serve the complete model); discriminator conversions load via
+    ``--pretrained_discriminator``.
     """
     state = {k: np.asarray(v) for k, v in state.items()}
     out: Dict[str, np.ndarray] = {}
@@ -249,6 +252,20 @@ def unwrap_reference_checkpoint(obj, which: str = "G") -> Dict[str, np.ndarray]:
         for key in keys:
             if key in obj:
                 return obj[key]
+        # A training container that lacks the requested model is a user
+        # error worth a clear message (e.g. asking for the discriminator
+        # out of a vanilla checkpoint), not a downstream KeyError.
+        container_keys = {
+            "model_state_dict", "model_G_state_dict", "model_D_state_dict",
+        }
+        found = sorted(container_keys & obj.keys())
+        if found:
+            msg = (
+                f"checkpoint container has {found} but no {'/'.join(keys)}"
+            )
+            if which == "D":
+                msg += " — not an adversarial checkpoint?"
+            raise ValueError(msg)
     return obj
 
 

@@ -73,17 +73,34 @@ def evaluate(
     """Run eval over an iterable of (images_u8, labels, img_valid) batches.
 
     Returns {'miou', 'loss', 'per_class_iou', 'hist'} as numpy. Each batch's
-    contribution stays on device; only the final accumulated hist and two
-    scalars cross to host.
+    contribution stays on device; the running int32 device hist is flushed
+    into a host int64 accumulator before any cell could reach 2^31 (a
+    GTA5-sized eval set has ~2.3e10 pixels — a dominant class's diagonal
+    cell overflows int32 long before the end; the reference accumulates in
+    numpy's default int64, ``utils.py:62-89``), so host transfers stay
+    O(total_pixels / 1e9) per eval rather than per batch.
     """
+    hist_host = np.zeros((num_classes, num_classes), np.int64)
     hist = jnp.zeros((num_classes, num_classes), jnp.int32)
     loss_sum = jnp.zeros((), jnp.float32)
     count = jnp.zeros((), jnp.float32)
+    flush_every = None
+    since_flush = 0
     for images_u8, labels, img_valid in batches:
+        if flush_every is None:
+            # <= 2^30 pixels binned on device between flushes keeps every
+            # int32 cell exact with 2x headroom.
+            px_per_batch = int(np.prod(labels.shape))
+            flush_every = max(1, (1 << 30) // max(px_per_batch, 1))
         h, ls, c = eval_step(variables, images_u8, labels, img_valid)
         hist, loss_sum, count = hist + h, loss_sum + ls, count + c
-    hist = np.asarray(hist)
-    ious = np.asarray(per_class_iou(jnp.asarray(hist)))
+        since_flush += 1
+        if since_flush >= flush_every:
+            hist_host += np.asarray(hist, np.int64)
+            hist = jnp.zeros((num_classes, num_classes), jnp.int32)
+            since_flush = 0
+    hist = hist_host + np.asarray(hist, np.int64)
+    ious = np.asarray(per_class_iou(jnp.asarray(hist.astype(np.float32))))
     return {
         "miou": float(ious.mean()),
         "loss": float(loss_sum) / max(float(count), 1.0),

@@ -151,7 +151,20 @@ class Trainer:
         self.steps_per_epoch = t.steps_per_epoch or len(self.train_loader) * echo
         if self.steps_per_epoch <= 0:
             raise ValueError("empty training dataset")
+        if t.steps_per_epoch and t.steps_per_epoch > len(self.train_loader) * echo:
+            # islice cannot extend a finite epoch: the run would silently
+            # train fewer steps per epoch than max_iter and the poly-LR
+            # horizon assume (LR would end half-decayed, resume arithmetic
+            # would drift).
+            raise ValueError(
+                f"train.steps_per_epoch={t.steps_per_epoch} exceeds the "
+                f"{len(self.train_loader)} batches the dataset yields per "
+                f"epoch (x data_echo {echo} = "
+                f"{len(self.train_loader) * echo} optimizer steps); lower "
+                "steps_per_epoch or raise data_echo"
+            )
         self.max_iter = t.epochs * self.steps_per_epoch
+        self.data_echo = echo
 
         # --- mesh (before model build: the discriminator's Pallas conv1
         # needs it for shard_map dispatch) ---
@@ -502,7 +515,14 @@ def run_experiment(
             # permutation an uninterrupted run would
             trainer.train_loader.set_epoch(start_epoch)
             if trainer.target_loader is not None:
-                trainer.target_loader.loader.set_epoch(start_epoch)
+                # The target stream's pass length is len(target), NOT the
+                # source epoch length — it consumes one batch per source
+                # HOST batch. Restore pass index + mid-pass offset from the
+                # total host batches the completed epochs consumed (the
+                # resumed epoch's fast-forward below replays its own target
+                # pulls through the zipped stream).
+                hbpe = -(-trainer.steps_per_epoch // trainer.data_echo)
+                trainer.target_loader.set_position(start_epoch * hbpe)
             if start_epoch >= t.epochs:
                 import warnings
 

@@ -397,6 +397,23 @@ def test_unwrap_reference_checkpoint_containers():
         {"model_G_state_dict": sd, "model_D_state_dict": {}}
     ) is sd
     assert unwrap_reference_checkpoint(sd) is sd
+    # Asking for the discriminator out of a vanilla container is a clear
+    # error, not a downstream KeyError.
+    with pytest.raises(ValueError, match="not an adversarial checkpoint"):
+        unwrap_reference_checkpoint({"model_state_dict": sd}, which="D")
+    # A bare discriminator state_dict still passes through.
+    assert unwrap_reference_checkpoint(sd, which="D") is sd
+
+
+def test_convert_cli_rejects_depth_for_discriminator(tmp_path):
+    from rtda_semanticsegmentation_tpu.cli import convert_torch_weights
+
+    with pytest.raises(SystemExit):
+        convert_torch_weights.main([
+            "--torch_checkpoint", str(tmp_path / "x.pth"),
+            "--model", "discriminator", "--depth", "18",
+            "--output", str(tmp_path / "o.npz"),
+        ])
 
 
 class TorchFCDiscriminator(tnn.Module):

@@ -200,6 +200,41 @@ def test_loader_rejects_droplast_false_multihost():
         Loader(ds, 4, drop_last=False, process_index=0, process_count=2)
 
 
+def test_infinite_loader_set_position_matches_uninterrupted():
+    """set_position(k) restores pass index AND mid-pass offset: the stream
+    continues exactly where an uninterrupted run would after k batches
+    (UDA target-stream resume alignment)."""
+    ds = SyntheticDataset(length=12, size=(16, 16))
+
+    def fresh():
+        return InfiniteLoader(
+            Loader(ds, batch_size=4, shuffle=True, seed=5)
+        )
+
+    ref = fresh()
+    stream = [next(ref)["image"].copy() for _ in range(8)]  # 3 batches/pass
+    for k in (0, 2, 3, 5, 7):
+        resumed = fresh()
+        resumed.set_position(k)
+        for j in range(k, 8):
+            np.testing.assert_array_equal(
+                next(resumed)["image"], stream[j],
+                err_msg=f"diverged at batch {j} after set_position({k})",
+            )
+
+
+def test_prefetch_depth_zero_still_yields_every_batch():
+    """prefetch depth <= 0 must clamp to 1, not silently produce an empty
+    epoch (a zero-batch run would 'succeed' without training)."""
+    from rtda_semanticsegmentation_tpu.data.loader import prefetch_to_device
+
+    ds = SyntheticDataset(length=8, size=(8, 8))
+    loader = Loader(ds, batch_size=4, shuffle=False)
+    for depth in (0, -1, 1, 3):
+        out = list(prefetch_to_device(iter(loader), None, depth))
+        assert len(out) == 2, (depth, len(out))
+
+
 def test_cityscapes_root_containing_images_segment(tmp_path):
     """A dataset root that itself contains an 'images' path segment must
     not have that segment rewritten when deriving label paths."""
@@ -261,6 +296,25 @@ class TestDecodedCache:
         # A fresh uncached dataset sees the new source (sanity).
         img_fresh, _ = base.load(0)
         assert img_fresh.max() == 0
+
+    def test_concurrent_same_index_writes_stay_valid(
+        self, cityscapes_root, tmp_path
+    ):
+        """Racing loader threads on one uncached index (abandoned-epoch
+        prefetch vs next epoch) must never publish or serve a corrupt
+        entry — tmp files are unique per thread."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        base, cached = self._cached(cityscapes_root, tmp_path)
+        ref_img, ref_lab = base.load(0)
+        with ThreadPoolExecutor(8) as pool:
+            results = list(pool.map(lambda _: cached.load(0), range(32)))
+        for img, lab in results:
+            np.testing.assert_array_equal(img, ref_img)
+            np.testing.assert_array_equal(lab, ref_lab)
+        # the published entry itself is valid and no tmp litter remains
+        assert cached._try_read(cached._entry_path(0)) is not None
+        assert not [f for f in os.listdir(cached.dir) if ".tmp." in f]
 
     def test_corrupt_entry_falls_back_and_heals(self, cityscapes_root, tmp_path):
         base, cached = self._cached(cityscapes_root, tmp_path)

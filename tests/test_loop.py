@@ -87,7 +87,7 @@ def test_final_int8_eval_reports_delta(tmp_path):
 def test_profile_steps_writes_trace(tmp_path):
     cfg = e2e_cfg(
         tmp_path, train__profile_steps=2, train__steps_per_epoch=6,
-        train__epochs=1,
+        train__epochs=1, data__synthetic_length=24,
     )
     run_experiment(
         cfg, run_name="prof", measure_performance=False, verbose=False
@@ -317,6 +317,17 @@ def test_watch_and_checkpoint_upload_events(tmp_path):
     # both streams mirrored: best (epoch improvements) + periodic latest
     assert any(p["path"].endswith("best_miou") for p in arts)
     assert any(p["path"].endswith("latest") for p in arts)
+
+
+def test_steps_per_epoch_beyond_dataset_rejected(tmp_path):
+    """steps_per_epoch the dataset cannot supply must fail loudly: islice
+    cannot extend a finite epoch, so the run would silently undertrain
+    while max_iter / the poly-LR horizon / resume arithmetic assume the
+    full count."""
+    cfg = e2e_cfg(tmp_path, train__steps_per_epoch=99)
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        run_experiment(cfg, run_name="over", measure_performance=False,
+                       verbose=False)
 
 
 def test_data_echo_multiplies_steps(tmp_path):

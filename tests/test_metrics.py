@@ -51,3 +51,27 @@ def test_confusion_matrix_accumulates_across_batches():
         total = total + confusion_matrix(jnp.array(labels[i]), jnp.array(preds[i]), 19)
     want = fast_hist_oracle(labels.ravel(), preds.ravel(), 19)
     np.testing.assert_array_equal(np.asarray(total), want)
+
+
+def test_evaluate_hist_accumulation_past_int32():
+    """evaluate() must stay exact when the summed confusion matrix exceeds
+    int32 (GTA5-sized eval sets put a dominant class's TP cell past 2^31):
+    the device int32 hist flushes into a host int64 accumulator."""
+    from rtda_semanticsegmentation_tpu.train.evaluate import evaluate
+
+    cell = 1 << 28
+
+    def fake_step(variables, images, labels, valid):
+        return (
+            jnp.full((2, 2), cell, jnp.int32),
+            jnp.float32(0.0),
+            jnp.float32(1.0),
+        )
+
+    # labels with 2^30 logical pixels (broadcast view: no memory) force
+    # flush_every == 1, so 16 batches x 2^28 per cell crosses 2^32.
+    labels = np.broadcast_to(np.zeros((), np.int32), (1 << 15, 1 << 15))
+    batches = [(None, labels, None)] * 16
+    out = evaluate(fake_step, None, batches, num_classes=2)
+    assert out["hist"].dtype == np.int64
+    assert int(out["hist"][0, 0]) == 16 * cell
