@@ -31,6 +31,18 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 300.0  # BASELINE.md: >=300 img/s/chip @ 1024x512, v5e
 H, W = 512, 1024
 WARMUP, ITERS = 10, 100
+# v5e peak per chip: 197 TFLOP/s bf16, 394 TOP/s int8. MFU rows divide XLA
+# cost-analysis FLOPs by wall time and this peak. NOTE XLA counts one MAC as
+# 2 FLOPs only in its "flops" key for dots/convs; that convention matches
+# the 197e12 marketing number, so the ratio is apples-to-apples.
+V5E_PEAK_BF16 = 197e12
+V5E_PEAK_INT8 = 394e12
+
+
+def _mfu(flops_per_iter, sec_per_iter, peak=V5E_PEAK_BF16):
+    if not flops_per_iter or not sec_per_iter:
+        return None
+    return flops_per_iter / sec_per_iter / peak
 
 
 def _build():
@@ -96,37 +108,79 @@ def _time_batch(forward, variables, batch: int) -> tuple[float, float]:
     return device_per_iter, rtt_per_iter
 
 
-def _train_throughput(batch: int = 8) -> float:
-    """img/s of the compiled vanilla train step (aug pipeline on)."""
+def _train_throughput(mode: str = "vanilla", batch: int = 8):
+    """(img/s, sec/iter, step FLOPs, final generator variables) of the
+    compiled train step for ``mode`` in {'vanilla', 'flagship'}.
+
+    'vanilla' = CE only with the full aug pipeline (reference train.py:28);
+    'flagship' = adversarial + Lovasz, the framework's richest mode
+    (reference train_lovasz.py:172). The returned variables have seen the
+    timing steps' training (~25 steps on synthetic data) — used downstream
+    as non-random weights for the int8 fidelity probe.
+    """
     import dataclasses
 
-    from rtda_semanticsegmentation_tpu.config import ExperimentConfig
-    from rtda_semanticsegmentation_tpu.models.factory import build_model, init_model
-    from rtda_semanticsegmentation_tpu.train.optim import build_generator_tx
+    from rtda_semanticsegmentation_tpu.config import get_preset
+    from rtda_semanticsegmentation_tpu.models.factory import (
+        build_discriminator,
+        build_model,
+        init_model,
+    )
+    from rtda_semanticsegmentation_tpu.obs.profiler import xla_flops
+    from rtda_semanticsegmentation_tpu.train.optim import (
+        build_discriminator_tx,
+        build_generator_tx,
+    )
     from rtda_semanticsegmentation_tpu.train.schedule import poly_lr_schedule
     from rtda_semanticsegmentation_tpu.train.state import ModelState, TrainState
     from rtda_semanticsegmentation_tpu.train.steps import make_train_step
 
-    cfg = ExperimentConfig()
+    adversarial = mode == "flagship"
+    cfg = get_preset(
+        "bisenet_adversarial_lovasz" if adversarial else "bisenet_source_aug"
+    )
     cfg = cfg.replace(
-        data=dataclasses.replace(cfg.data, gta5_size=(H, W)),
+        data=dataclasses.replace(
+            cfg.data, gta5_size=(H, W), cityscapes_size=(H, W)
+        ),
         train=dataclasses.replace(cfg.train, batch_size=batch),
     )
     model = build_model(cfg.model)
     g = ModelState.create(
         model.apply,
         init_model(model, jax.random.PRNGKey(0), (1, H, W, 3)),
-        build_generator_tx(cfg.optimizer, 1000),
+        build_generator_tx(
+            cfg.optimizer, 1000,
+            decay_exempt=("supervision1", "supervision2"),
+        ),
     )
-    state = TrainState.create(g)
-    step = jax.jit(
-        make_train_step(cfg, poly_lr_schedule(1e-4, 1000)), donate_argnums=0
+    d = None
+    if adversarial:
+        disc = build_discriminator(cfg.model)
+        d = ModelState.create(
+            disc.apply,
+            init_model(
+                disc, jax.random.PRNGKey(1), (1, H, W, cfg.model.num_classes)
+            ),
+            build_discriminator_tx(cfg.adversarial, 1000),
+        )
+    state = TrainState.create(g, d)
+    step_fn = make_train_step(
+        cfg,
+        poly_lr_schedule(cfg.optimizer.learning_rate, 1000),
+        poly_lr_schedule(cfg.adversarial.disc_learning_rate, 1000),
     )
+    step = jax.jit(step_fn, donate_argnums=0)
     rng = np.random.RandomState(0)
     b = {
         "image": jnp.asarray(rng.randint(0, 256, (batch, H, W, 3), np.uint8)),
         "label": jnp.asarray(rng.randint(0, 19, (batch, H, W), np.int32)),
     }
+    if adversarial:
+        b["target_image"] = jnp.asarray(
+            rng.randint(0, 256, (batch, H, W, 3), np.uint8)
+        )
+    flops = xla_flops(step_fn, state, b, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(0)
     for _ in range(3):
         state, m = step(state, b, key)
@@ -136,11 +190,43 @@ def _train_throughput(batch: int = 8) -> float:
     for _ in range(n):
         state, m = step(state, b, key)
     float(m["loss"])
-    return batch * n / (time.perf_counter() - t0)
+    sec = (time.perf_counter() - t0) / n
+    return batch / sec, sec, flops, state.generator.variables
+
+
+def _deeplab_throughput():
+    """DeepLabV2 (ResNet-101 + ASPP) bf16 inference row: best img/s + MFU."""
+    from rtda_semanticsegmentation_tpu.config import ModelConfig
+    from rtda_semanticsegmentation_tpu.models.factory import build_model, init_model
+    from rtda_semanticsegmentation_tpu.obs.profiler import xla_flops
+
+    cfg = ModelConfig(name="deeplabv2", context_path="resnet101")
+    model = build_model(cfg)
+    variables = init_model(
+        model, jax.random.PRNGKey(0), (1, H, W, 3), train=False
+    )
+
+    @jax.jit
+    def forward(variables, images):
+        return model.apply(variables, images, False)
+
+    best_ips, best_b, best_sec = 0.0, 0, 0.0
+    for b in (8, 16, 32):
+        sec, _ = _time_batch(forward, variables, b)
+        ips = b / sec
+        if ips > best_ips:
+            best_ips, best_b, best_sec = ips, b, sec
+    x = jnp.zeros((best_b, H, W, 3), jnp.bfloat16)
+    flops = xla_flops(lambda v, im: model.apply(v, im, False), variables, x)
+    return best_ips, best_b, _mfu(flops, best_sec)
 
 
 def _build_int8(variables):
-    """Calibrated int8-PTQ forward (serving path; see models/quantize.py)."""
+    """Calibrated int8-PTQ forward (serving path; see models/quantize.py).
+
+    ``variables`` should be trained (or converted) weights — calibration and
+    the downstream fidelity probe are only meaningful on realistic
+    activation ranges, not PRNG inits."""
     from rtda_semanticsegmentation_tpu.config import ExperimentConfig
     from rtda_semanticsegmentation_tpu.models.quantize import calibrate, quantized_model
 
@@ -199,7 +285,7 @@ def main() -> None:
     variables, forward = _build()
 
     # Throughput: scan batch sizes, keep the best device img/s.
-    best_ips, best_b = 0.0, 1
+    best_ips, best_b, best_sec = 0.0, 1, 0.0
     for b in (1, 2, 4, 8, 16, 32, 64, 96, 128):
         dev, rtt = _time_batch(forward, variables, b)
         ips = b / dev
@@ -209,39 +295,90 @@ def main() -> None:
             file=sys.stderr,
         )
         if ips > best_ips:
-            best_ips, best_b = ips, b
-    print(f"bf16 best: batch={best_b} ({best_ips:.1f} img/s)", file=sys.stderr)
+            best_ips, best_b, best_sec = ips, b, dev
+    from rtda_semanticsegmentation_tpu.obs.profiler import xla_flops
+
+    def _fwd(v, im):
+        return forward(v, im)
+
+    infer_flops = xla_flops(
+        _fwd, variables, jnp.zeros((best_b, H, W, 3), jnp.bfloat16)
+    )
+    mfu = _mfu(infer_flops, best_sec)
+    print(
+        f"bf16 best: batch={best_b} ({best_ips:.1f} img/s, "
+        f"MFU {mfu:.1%})" if mfu else
+        f"bf16 best: batch={best_b} ({best_ips:.1f} img/s)",
+        file=sys.stderr,
+    )
+
+    # Training throughput rows (run BEFORE int8 so the fidelity probe gets
+    # trained weights, not PRNG inits): vanilla + flagship, each with MFU.
+    trained_vars = None
+    for mode, label in (("vanilla", "train vanilla+aug"),
+                        ("flagship", "train adversarial+lovasz")):
+        try:
+            t_ips, t_sec, t_flops, g_vars = _train_throughput(mode)
+            t_mfu = _mfu(t_flops, t_sec)
+            mfu_s = f", MFU {t_mfu:.1%}" if t_mfu else ""
+            print(
+                f"{label} (b8): {t_ips:.1f} img/s "
+                f"({t_sec * 1e3:.1f} ms/step{mfu_s})",
+                file=sys.stderr,
+            )
+            if mode == "vanilla":
+                trained_vars = g_vars
+        except Exception as e:
+            print(f"{label} skipped: {e}", file=sys.stderr)
 
     # int8 PTQ serving path: qualifies as headline only above 0.99 on-device
-    # argmax agreement with the bf16 path.
+    # argmax agreement with the bf16 path — probed on the briefly-trained
+    # weights from the vanilla timing run (25 synthetic steps), so calibrated
+    # activation ranges reflect a real (if young) network, not PRNGKey(0).
     try:
-        q_vars, q_forward, probe = _build_int8(variables)
+        fid_vars = trained_vars if trained_vars is not None else variables
+        provenance = (
+            "trained weights (25 synthetic steps)"
+            if trained_vars is not None else "random init (fallback)"
+        )
+        q_vars, q_forward, probe = _build_int8(fid_vars)
         a = jnp.argmax(forward(q_vars, probe), -1)
         bq = jnp.argmax(q_forward(q_vars, probe), -1)
         agreement = float(jnp.mean(a == bq))
-        print(f"int8 argmax agreement vs bf16: {agreement:.4f}", file=sys.stderr)
-        best_q, best_qb = 0.0, 0
+        print(
+            f"int8 argmax agreement vs bf16 on {provenance}: {agreement:.4f}",
+            file=sys.stderr,
+        )
+        best_q, best_qb, best_qsec = 0.0, 0, 0.0
         for b in (32, 64, 96, 128):
             devt, _ = _time_batch(q_forward, q_vars, b)
             ips = b / devt
             print(f"int8 batch={b}: {ips:.1f} img/s device", file=sys.stderr)
             if ips > best_q:
-                best_q, best_qb = ips, b
+                best_q, best_qb, best_qsec = ips, b, devt
         if agreement >= 0.99 and best_q > best_ips:
+            # per-image FLOPs from the bf16 analysis, scaled to the int8 batch
+            q_mfu = _mfu(infer_flops * best_qb / max(best_b, 1), best_qsec,
+                         V5E_PEAK_INT8) if infer_flops else None
             best_ips, best_b = best_q, best_qb
             print(
-                f"headline: int8 PTQ batch={best_qb} ({best_q:.1f} img/s)",
+                f"headline: int8 PTQ batch={best_qb} ({best_q:.1f} img/s"
+                + (f", int8 MFU {q_mfu:.1%})" if q_mfu else ")"),
                 file=sys.stderr,
             )
     except Exception as e:
         print(f"int8 sweep skipped: {e}", file=sys.stderr)
 
-    # Context: training throughput (vanilla CE train step, batch 8).
+    # DeepLabV2 upper-bound model inference row.
     try:
-        train_ips = _train_throughput()
-        print(f"train (vanilla, b8): {train_ips:.1f} img/s", file=sys.stderr)
+        d_ips, d_b, d_mfu = _deeplab_throughput()
+        mfu_s = f", MFU {d_mfu:.1%}" if d_mfu else ""
+        print(
+            f"deeplabv2-r101 bf16 batch={d_b}: {d_ips:.1f} img/s{mfu_s}",
+            file=sys.stderr,
+        )
     except Exception as e:
-        print(f"train throughput skipped: {e}", file=sys.stderr)
+        print(f"deeplabv2 row skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(

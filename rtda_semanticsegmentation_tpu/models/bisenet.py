@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from .layers import (
     ConvBN,
     Dtype,
+    FoldableBatchNorm,
     global_avg_pool,
     kaiming_normal_fan_in,
     resize_bilinear,
@@ -75,10 +76,14 @@ class AttentionRefinementModule(nn.Module):
             self.features, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=kaiming_normal_fan_in, name="conv",
         )(g)
-        g = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn",
-        )(g)
+        # FoldableBatchNorm (same variable tree as nn.BatchNorm) for torch
+        # running-stat parity: this BN reduces ONLY the batch axis (N = B),
+        # where torch's unbiased running-var update differs from the biased
+        # batch var by B/(B-1) — far from negligible. Gate math at >=f32.
+        g = FoldableBatchNorm(momentum=0.9, epsilon=1e-5, name="bn")(
+            g.astype(jnp.promote_types(g.dtype, jnp.float32)),
+            use_running_average=not train,
+        )
         gate = nn.sigmoid(g).astype(self.dtype)
         return x * gate
 

@@ -18,6 +18,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
@@ -68,15 +69,26 @@ class FoldableBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
+            # At-least-f32 statistics: f32 for the production f32/bf16
+            # paths, f64 under jax_enable_x64 (lets parity tests compare
+            # against a float64 torch oracle without f32 truncation here).
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             mean = jnp.mean(xf, axis=axes)
             var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
             if not self.is_initializing():
+                # torch parity: normalization uses the biased batch var, but
+                # the running average tracks the UNBIASED one (factor
+                # N/(N-1)). Material for BNs over few samples — the ARM/FFM
+                # gate BNs reduce only the batch axis (N = B), where the
+                # biased estimate is off by 1/(B-1).
+                n = np.prod([x.shape[a] for a in axes])
+                correction = n / max(n - 1, 1)
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 )
                 ra_var.value = (
-                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * var * correction
                 )
 
         inv = scale * jax.lax.rsqrt(var + self.epsilon)
@@ -406,8 +418,9 @@ def max_pool_torch(
 
 
 def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
-    """Mean over H, W in f32 (large spatial reductions are unsafe in bf16)."""
-    y = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=keepdims)
+    """Mean over H, W in >=f32 (large spatial reductions are unsafe in bf16)."""
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    y = jnp.mean(x.astype(acc), axis=(1, 2), keepdims=keepdims)
     return y.astype(x.dtype)
 
 

@@ -7,7 +7,7 @@ observable without network access.
 
 from .logging import MetricLogger, make_logger
 from .profiler import count_params, performance_metrics
-from .summary import flops_and_params, model_summary_table
+from .summary import flop_count_table, flops_and_params, model_summary_table
 
 __all__ = [
     "MetricLogger",
@@ -16,4 +16,5 @@ __all__ = [
     "performance_metrics",
     "flops_and_params",
     "model_summary_table",
+    "flop_count_table",
 ]

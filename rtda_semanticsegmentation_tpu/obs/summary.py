@@ -38,6 +38,114 @@ def model_summary_table(
         return tab(x)
 
 
+def flop_count_table(
+    module,
+    variables,
+    input_shape: Tuple[int, ...],
+    depth: int = 3,
+    train: bool = False,
+) -> str:
+    """Per-module FLOP + parameter table, fvcore-convention.
+
+    Reproduces the reference's ``flop_count_table(FlopCountAnalysis(model,
+    dummy), max_depth=3)`` (``utils.py:328-340``, logged as HTML at
+    ``main.py:603-621``): one forward with ``capture_intermediates`` records
+    every submodule's output shape, and each conv/dense kernel's
+    multiply-accumulates are computed analytically from (kernel shape x
+    output positions) — fvcore's counting convention (1 MAC = 1 FLOP;
+    normalizations/elementwise ops uncounted). Rows aggregate the module
+    tree to ``depth``.
+    """
+    import flax
+
+    x = jnp.zeros(input_shape, jnp.float32)
+    try:
+        _, caps = module.apply(
+            variables, x, train, capture_intermediates=True, mutable="intermediates"
+        )
+    except TypeError:  # modules without a train switch (FCDiscriminator)
+        _, caps = module.apply(
+            variables, x, capture_intermediates=True, mutable="intermediates"
+        )
+    inter = {
+        k[:-1]: v
+        for k, v in flax.traverse_util.flatten_dict(
+            caps["intermediates"]
+        ).items()
+        if k[-1] == "__call__"
+    }
+
+    def out_shape(path):
+        v = inter.get(path)
+        if v is None:
+            return None
+        leaves = jax.tree_util.tree_leaves(v)
+        return leaves[0].shape if leaves else None
+
+    flat_params = flax.traverse_util.flatten_dict(variables["params"])
+    per_module_flops: dict = {}
+    per_module_params: dict = {}
+    for path, p in flat_params.items():
+        mod = path[:-1]
+        per_module_params[mod] = per_module_params.get(mod, 0) + int(
+            jnp.size(p)
+        )
+        if path[-1] != "kernel":
+            continue
+        out = out_shape(mod)
+        if out is None:
+            continue
+        k = p.shape
+        if len(k) == 4:  # conv (kh, kw, cin, cout) -> out (..., cout)
+            positions = 1
+            for d in out[:-1]:
+                positions *= d
+            macs = positions * k[0] * k[1] * k[2] * k[3]
+        elif len(k) == 2:  # dense (cin, cout)
+            positions = 1
+            for d in out[:-1]:
+                positions *= d
+            macs = positions * k[0] * k[1]
+        else:
+            continue
+        per_module_flops[mod] = per_module_flops.get(mod, 0) + macs
+
+    # Aggregate up the module tree; emit rows to `depth`.
+    agg_f: dict = {(): 0}
+    agg_p: dict = {(): 0}
+    for mod, f in per_module_flops.items():
+        for i in range(len(mod) + 1):
+            agg_f[mod[:i]] = agg_f.get(mod[:i], 0) + f
+    for mod, n in per_module_params.items():
+        for i in range(len(mod) + 1):
+            agg_p[mod[:i]] = agg_p.get(mod[:i], 0) + n
+
+    def fmt(n, unit):
+        return f"{n / unit[1]:.3f}{unit[0]}"
+
+    rows = [("module", "#parameters", "#flops (MACs)")]
+    for mod in sorted(set(agg_p) | set(agg_f)):
+        if len(mod) > depth or (mod and mod[0] == "quant_stats"):
+            continue
+        name = "model" if not mod else "  " * (len(mod) - 1) + mod[-1]
+        p = agg_p.get(mod, 0)
+        f = agg_f.get(mod, 0)
+        rows.append(
+            (
+                name,
+                fmt(p, ("M", 1e6)) if p else "",
+                fmt(f, ("G", 1e9)) if f else "--",
+            )
+        )
+    widths = [max(len(r[i]) for r in rows) for i in range(3)]
+    lines = [
+        " | ".join(c.ljust(w) for c, w in zip(r, widths)).rstrip()
+        for r in rows
+    ]
+    lines.insert(1, "-+-".join("-" * w for w in widths))
+    return "\n".join(lines)
+
+
 def flops_and_params(
     apply_fn,
     variables,

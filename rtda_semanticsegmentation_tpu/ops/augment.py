@@ -99,6 +99,30 @@ def color_jitter(
     return jax.lax.fori_loop(0, 4, apply_op, img)
 
 
+def _poisson_approx(key: jax.Array, lam, shape) -> jnp.ndarray:
+    """Poisson(lam) via a skew-corrected, integer-rounded Gaussian.
+
+    Exact ``jax.random.poisson`` with a traced rate is ~50x the cost of a
+    normal draw in-jit (rejection loops) — too slow for the per-step aug
+    path. A plain Gaussian misses Poisson's discreteness and its 1/sqrt(lam)
+    skewness, visibly so at the small rates low-intensity ISONoise produces
+    (lam ~ 3-8). The Cornish-Fisher second-order correction
+    ``lam + sqrt(lam) Z + (Z^2 - 1)/6`` restores the skewness, and rounding
+    restores the integer support; clamping at 0 matches the non-negative
+    range. Moments vs true Poisson: mean exact, variance lam + ~0.14
+    (rounding 1/12 + correction 1/18), skewness 1/sqrt(lam) — KS distance
+    to Poisson < 0.02 for lam >= 3 (tests/test_augment_dist.py pins this
+    against numpy's true Poisson).
+    """
+    z = jax.random.normal(key, shape)
+    lam = jnp.maximum(lam, 0.0)
+    # The CF term is lam-independent, so it must be gated off as lam -> 0
+    # (Poisson(0) is exactly 0; a flat image must stay noise-free).
+    w = jnp.minimum(lam, 1.0)
+    x = lam + jnp.sqrt(lam) * z + w * (z * z - 1.0) / 6.0
+    return jnp.maximum(jnp.round(x), 0.0)
+
+
 def iso_noise(
     img: jnp.ndarray, key: jax.Array, cfg: AugmentConfig
 ) -> jnp.ndarray:
@@ -115,13 +139,7 @@ def iso_noise(
     hls = rgb_to_hls(img)
     stddev = jnp.std(hls[..., 1])
     lam = stddev * intensity * 255.0
-    # Poisson(lam) via normal approximation (lam is O(10); jax.random.poisson
-    # with a traced rate is host-sync-unfriendly on TPU, and the normal
-    # approximation is distributionally indistinguishable after /255 scaling).
-    pois = jnp.maximum(
-        lam + jnp.sqrt(jnp.maximum(lam, 1e-6)) * jax.random.normal(k_pois, img.shape[:2]),
-        0.0,
-    )
+    pois = _poisson_approx(k_pois, lam, img.shape[:2])
     color_noise = (
         jax.random.normal(k_norm, img.shape[:2]) * color_shift * 360.0 * intensity
     )
@@ -174,15 +192,21 @@ def _maybe(key, p, fn, img):
 
 
 def normalize(images: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
-    """ImageNet normalization of [0,1] float images (any leading dims)."""
-    mean = jnp.asarray(cfg.norm_mean, jnp.float32)
-    std = jnp.asarray(cfg.norm_std, jnp.float32)
-    return (images - mean) / std
+    """ImageNet normalization of [0,1] float images (any leading dims).
+
+    Runs at the images' own float dtype, floored at f32 (f64 under the x64
+    parity tests; f32 everywhere in production)."""
+    dt = jnp.promote_types(images.dtype, jnp.float32)
+    mean = jnp.asarray(cfg.norm_mean, dt)
+    std = jnp.asarray(cfg.norm_std, dt)
+    return (images.astype(dt) - mean) / std
 
 
-def normalize_u8(images_u8: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
-    """uint8 NHWC -> normalized f32 (the eval / no-aug path)."""
-    return normalize(images_u8.astype(jnp.float32) / 255.0, cfg)
+def normalize_u8(
+    images_u8: jnp.ndarray, cfg: AugmentConfig, dtype=jnp.float32
+) -> jnp.ndarray:
+    """uint8 NHWC -> normalized float (the eval / no-aug path)."""
+    return normalize(images_u8.astype(dtype) / 255.0, cfg)
 
 
 def augment_batch(

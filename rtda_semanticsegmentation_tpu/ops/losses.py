@@ -47,7 +47,7 @@ def cross_entropy_with_ignore(
         batch-1 validation loop semantics, ``validation.py:89-92``, kept exact
         for batched eval), or 'none' (per-pixel losses, 0 at ignored pixels).
     """
-    logits = logits.astype(jnp.float32)
+    logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     num_classes = logits.shape[-1]
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
@@ -100,7 +100,8 @@ def lovasz_softmax(
     if classes not in ("present", "all"):
         raise ValueError(f"classes must be 'present' or 'all', got {classes!r}")
     num_classes = probas.shape[-1]
-    probas = probas.reshape(-1, num_classes).astype(jnp.float32)
+    acc = jnp.promote_types(probas.dtype, jnp.float32)
+    probas = probas.reshape(-1, num_classes).astype(acc)
     labels = labels.reshape(-1).astype(jnp.int32)
     chunk = num_classes if class_chunk is None else min(class_chunk, num_classes)
     if num_classes % chunk:
@@ -110,13 +111,13 @@ def lovasz_softmax(
         valid = labels != ignore_index
     else:
         valid = jnp.ones_like(labels, dtype=bool)
-    validf = valid.astype(jnp.float32)
+    validf = valid.astype(acc)
 
     def class_block(carry, cs):
         """cs: (chunk,) class ids; one batched sort for the whole block."""
         loss_sum, present_cnt = carry
         p = probas.T[cs]  # (chunk, P)
-        fg = (labels[None, :] == cs[:, None]).astype(jnp.float32) * validf
+        fg = (labels[None, :] == cs[:, None]).astype(acc) * validf
         errors = jnp.abs(fg - p) * validf
         # Descending sort on errors with invalid pixels forced to the tail:
         # sort ascending on -key, invalid key = -1 < 0 <= any valid error.
@@ -133,7 +134,7 @@ def lovasz_softmax(
         )
         loss_c = (errors_sorted * grad).sum(axis=1)  # (chunk,)
         if classes == "present":
-            present = (gts[:, 0] > 0).astype(jnp.float32)
+            present = (gts[:, 0] > 0).astype(acc)
         else:
             present = jnp.ones_like(loss_c)
         return (
@@ -143,7 +144,7 @@ def lovasz_softmax(
 
     cs_blocks = jnp.arange(num_classes).reshape(-1, chunk)
     (loss_sum, present_cnt), _ = jax.lax.scan(
-        class_block, (jnp.float32(0.0), jnp.float32(0.0)), cs_blocks
+        class_block, (jnp.zeros((), acc), jnp.zeros((), acc)), cs_blocks
     )
     # Empty mean -> 0 (reference mean(..., empty=0), lovasz_loss.py:19-44).
     return jnp.where(present_cnt > 0, loss_sum / jnp.maximum(present_cnt, 1.0), 0.0)
@@ -475,7 +476,7 @@ def bce_with_logits(
     Equivalent to torch ``BCEWithLogitsLoss()`` with a broadcast target —
     the reference always uses constant maps ``full_like(logits, 0 or 1)``
     (``train.py:252-278``)."""
-    x = logits.astype(jnp.float32)
-    z = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), x.shape)
+    x = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
+    z = jnp.broadcast_to(jnp.asarray(targets, x.dtype), x.shape)
     loss = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
     return loss.mean()

@@ -79,6 +79,25 @@ def per_class_iou(hist: jnp.ndarray, epsilon: float = 1e-5) -> jnp.ndarray:
     return jnp.nan_to_num(ious, nan=0.0)
 
 
+def per_class_iou_np(hist, epsilon: float = 1e-5):
+    """Host float64 per-class IoU — exact for int64 histograms.
+
+    The reference computes IoU in numpy default float64 (``utils.py:92-116``);
+    the device kernel above is float32, which rounds counts beyond 2^24. The
+    eval loop accumulates an exact int64 host histogram, so its final IoU
+    reduction uses this helper to keep that exactness end to end. Same
+    epsilon and NaN->0 semantics as ``per_class_iou``.
+    """
+    import numpy as np
+
+    hist = np.asarray(hist, np.float64)
+    tp = np.diag(hist)
+    denom = hist.sum(axis=1) + hist.sum(axis=0) - tp + epsilon
+    with np.errstate(invalid="ignore"):
+        ious = tp / denom
+    return np.nan_to_num(ious, nan=0.0)
+
+
 def mean_iou(hist: jnp.ndarray, epsilon: float = 1e-5) -> jnp.ndarray:
     """Scalar mIoU = mean over classes of per-class IoU.
 

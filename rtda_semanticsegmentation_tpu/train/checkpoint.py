@@ -34,12 +34,21 @@ from .state import TrainState
 
 
 def _state_tree(
-    state: TrainState, epoch: int, per_class_ious=None, num_classes: int = 19
+    state: TrainState,
+    epoch: int,
+    per_class_ious=None,
+    num_classes: int = 19,
+    host_batches_per_epoch: int = 0,
 ) -> Dict[str, Any]:
     tree = {
         "epoch": epoch,
         "step": state.step,
         "best_miou": state.best_miou,
+        # The saving run's target-stream consumption rate (host batches per
+        # source epoch; 0 = no target stream). Resume uses it to realign the
+        # adversarial target stream even when the resuming run's epoch
+        # length/batch size/data_echo differ from the saving run's.
+        "host_batches_per_epoch": host_batches_per_epoch,
         "generator": {
             "params": state.generator.params,
             "batch_stats": state.generator.batch_stats,
@@ -139,15 +148,24 @@ class CheckpointManager:
 
     # -- save ---------------------------------------------------------------
 
-    def save_best(self, state: TrainState, epoch: int, per_class_ious) -> None:
+    def save_best(
+        self, state: TrainState, epoch: int, per_class_ious,
+        host_batches_per_epoch: int = 0,
+    ) -> None:
         tree = _state_tree(
-            state, epoch, per_class_ious, self.cfg.model.num_classes
+            state, epoch, per_class_ious, self.cfg.model.num_classes,
+            host_batches_per_epoch,
         )
         self._best.save(int(state.step), args=ocp.args.StandardSave(tree))
 
-    def save_periodic(self, state: TrainState, epoch: int) -> None:
+    def save_periodic(
+        self, state: TrainState, epoch: int, host_batches_per_epoch: int = 0
+    ) -> None:
         """Overwrite the rolling 'latest' checkpoint (max_to_keep=1)."""
-        tree = _state_tree(state, epoch, None, self.cfg.model.num_classes)
+        tree = _state_tree(
+            state, epoch, None, self.cfg.model.num_classes,
+            host_batches_per_epoch,
+        )
         self._latest.save(int(state.step), args=ocp.args.StandardSave(tree))
 
     def wait(self) -> None:
@@ -173,8 +191,10 @@ class CheckpointManager:
             return mgr.restore(step, args=ocp.args.StandardRestore(template))
         except (ValueError, KeyError, TypeError) as e:
             print(
-                f"template restore failed ({type(e).__name__}); attempting "
-                "cross-format raw restore"
+                f"template restore failed ({type(e).__name__}: "
+                f"{str(e)[:200]}); attempting cross-format raw restore "
+                "(expected for checkpoints from an older tree layout or the "
+                "other train mode)"
             )
         raw = mgr.restore(step)
         out = dict(raw)
@@ -275,6 +295,11 @@ class CheckpointManager:
         meta = {
             "epoch": int(restored["epoch"]),
             "best_miou": float(restored["best_miou"]),
+            # 0 / absent (pre-r2 checkpoints) = unknown; the resume path
+            # falls back to the current run's own epoch length.
+            "host_batches_per_epoch": int(
+                restored.get("host_batches_per_epoch", 0) or 0
+            ),
         }
         if "best_model_per_class_ious" in restored:
             ious = np.asarray(restored["best_model_per_class_ious"])

@@ -24,7 +24,12 @@ import numpy as np
 from ..config import ExperimentConfig
 from ..ops.augment import normalize_u8
 from ..ops.losses import cross_entropy_with_ignore
-from ..ops.metrics import confusion_matrix, mean_iou, per_class_iou
+from ..ops.metrics import (
+    confusion_matrix,
+    mean_iou,
+    per_class_iou,
+    per_class_iou_np,
+)
 
 
 def make_eval_step(cfg: ExperimentConfig, apply_fn: Callable):
@@ -100,7 +105,10 @@ def evaluate(
             hist = jnp.zeros((num_classes, num_classes), jnp.int32)
             since_flush = 0
     hist = hist_host + np.asarray(hist, np.int64)
-    ious = np.asarray(per_class_iou(jnp.asarray(hist.astype(np.float32))))
+    # Final IoU reduction on host in float64: keeps the int64 exactness the
+    # flush logic establishes (float32 rounds counts beyond 2^24; reference
+    # computes in numpy float64, utils.py:92-116).
+    ious = per_class_iou_np(hist)
     return {
         "miou": float(ious.mean()),
         "loss": float(loss_sum) / max(float(count), 1.0),

@@ -165,6 +165,10 @@ class Trainer:
             )
         self.max_iter = t.epochs * self.steps_per_epoch
         self.data_echo = echo
+        # Target-stream consumption rate: one target batch per source HOST
+        # batch (echoed steps reuse it). Persisted in checkpoints so resumes
+        # with a different epoch length realign the stream correctly.
+        self.host_batches_per_epoch = -(-self.steps_per_epoch // echo)
 
         # --- mesh (before model build: the discriminator's Pallas conv1
         # needs it for shard_map dispatch) ---
@@ -194,6 +198,11 @@ class Trainer:
                 cfg.optimizer,
                 self.max_iter,
                 freeze_bn=(cfg.model.name == "deeplabv2"),
+                # unused aux heads get no grad and no decay in the reference
+                # (torch skips grad-None params) — keep them frozen
+                decay_exempt=() if cfg.loss.aux_weight else (
+                    "supervision1", "supervision2"
+                ),
             ),
         )
         d = None
@@ -381,7 +390,7 @@ def _preempted_exit(
     not profiling.
     """
     jax.block_until_ready(state.step)
-    trainer.ckpt.save_periodic(state, epoch - 1)
+    trainer.ckpt.save_periodic(state, epoch - 1, trainer.host_batches_per_epoch)
     trainer.ckpt.wait()
     step = int(state.step)
     say(
@@ -520,9 +529,21 @@ def run_experiment(
                 # HOST batch. Restore pass index + mid-pass offset from the
                 # total host batches the completed epochs consumed (the
                 # resumed epoch's fast-forward below replays its own target
-                # pulls through the zipped stream).
-                hbpe = -(-trainer.steps_per_epoch // trainer.data_echo)
-                trainer.target_loader.set_position(start_epoch * hbpe)
+                # pulls through the zipped stream). The SAVING run's
+                # consumption rate is carried in the checkpoint: a resume
+                # with a different epoch length / batch size / data_echo
+                # must count the old run's pulls, not its own.
+                hbpe = trainer.host_batches_per_epoch
+                saved_hbpe = meta.get("host_batches_per_epoch") or hbpe
+                if saved_hbpe != hbpe:
+                    import warnings
+
+                    warnings.warn(
+                        f"checkpoint was written at {saved_hbpe} target "
+                        f"pulls/epoch but this run makes {hbpe} — realigning "
+                        "the target stream from the saved rate."
+                    )
+                trainer.target_loader.set_position(start_epoch * saved_hbpe)
             if start_epoch >= t.epochs:
                 import warnings
 
@@ -704,7 +725,10 @@ def run_experiment(
                         best_miou=jax.numpy.float32(val["miou"])
                     )
                     best_per_class = val["per_class_iou"]
-                    trainer.ckpt.save_best(state, epoch, best_per_class)
+                    trainer.ckpt.save_best(
+                        state, epoch, best_per_class,
+                        trainer.host_batches_per_epoch,
+                    )
                     say(f"  new best mIoU {val['miou']:.4f} -> checkpoint saved")
                     if cfg.obs.upload_checkpoints:
                         trainer.ckpt.wait()
@@ -713,7 +737,9 @@ def run_experiment(
             # periodic checkpoint, skipped on the final epoch
             # (reference config.py:46-58, main.py:458-467)
             if (epoch + 1) % t.save_checkpoint_freq_epoch == 0 and epoch != t.epochs - 1:
-                trainer.ckpt.save_periodic(state, epoch)
+                trainer.ckpt.save_periodic(
+                    state, epoch, trainer.host_batches_per_epoch
+                )
                 if cfg.obs.upload_checkpoints:
                     trainer.ckpt.wait()
                     logger.save_dir(trainer.ckpt.latest_dir)
@@ -805,18 +831,21 @@ def run_experiment(
             f"({report['mean_fps']:.1f} FPS) @ {perf_w}x{perf_h}"
         )
         say(f"FLOPs: {report['flops_g']} G   params: {report['params_m']} M")
-        # Per-module parameter table (reference prints fvcore's
-        # flop_count_table, main.py:603-621) — best-effort.
+        # Per-module FLOPs + params table (reference prints fvcore's
+        # flop_count_table(max_depth=3), main.py:603-621) — best-effort.
         try:
-            from ..obs import model_summary_table
+            from ..obs import flop_count_table
 
-            say(
-                model_summary_table(
-                    trainer.model, (1, perf_h, perf_w, 3), depth=2
-                )
+            table = flop_count_table(
+                trainer.model,
+                trainer.g_variables(),
+                (1, perf_h, perf_w, 3),
+                depth=3,
             )
-        except Exception:
-            pass
+            say(table)
+            report["flop_table"] = table
+        except Exception as e:
+            say(f"per-module FLOP table skipped: {e}")
     if report["per_class_iou"] is not None:
         say(_per_class_table(report["per_class_iou"]))
 

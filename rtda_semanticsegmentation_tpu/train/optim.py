@@ -15,6 +15,7 @@ Parity with the reference's optimizer setup:
 
 from __future__ import annotations
 
+import jax
 import optax
 
 from ..config import AdversarialConfig, OptimizerConfig
@@ -43,12 +44,35 @@ def bn_param_labels(params) -> dict:
 
 
 def build_generator_tx(
-    cfg: OptimizerConfig, max_iter: int, freeze_bn: bool = False
+    cfg: OptimizerConfig,
+    max_iter: int,
+    freeze_bn: bool = False,
+    decay_exempt: tuple = (),
 ) -> optax.GradientTransformation:
+    """``decay_exempt``: top-level param-tree module names excluded from
+    weight decay. Parity detail: torch optimizers skip params whose ``.grad``
+    is None — in the reference the aux supervision heads are computed but
+    never enter any loss (``train.py:113-120``), so they receive neither
+    gradient nor weight decay and stay frozen at init. With ``aux_weight==0``
+    the train loop passes ('supervision1', 'supervision2') here to match
+    (verified by the one-step parity tests, tests/test_train_parity.py).
+    """
     schedule = poly_lr_schedule(cfg.learning_rate, max_iter, cfg.poly_power)
     parts = []
     if cfg.weight_decay:
-        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+        if decay_exempt:
+            exempt = frozenset(decay_exempt)
+            parts.append(
+                optax.add_decayed_weights(
+                    cfg.weight_decay,
+                    mask=lambda params: {
+                        k: jax.tree.map(lambda _: k not in exempt, sub)
+                        for k, sub in params.items()
+                    },
+                )
+            )
+        else:
+            parts.append(optax.add_decayed_weights(cfg.weight_decay))
     if cfg.name == "sgd":
         # torch SGD(momentum): buf = m*buf + g; p -= lr*buf  -> trace + scale.
         parts.append(optax.trace(decay=cfg.sgd_momentum, nesterov=False))

@@ -149,7 +149,10 @@ def _seg_loss(
         total = total + cfg.loss.aux_weight * aux_ce
         parts["loss_aux"] = aux_ce
     if cfg.loss.use_lovasz:
-        probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probas = jax.nn.softmax(
+            logits.astype(jnp.promote_types(logits.dtype, jnp.float32)),
+            axis=-1,
+        )
         if cfg.loss.lovasz_impl == "binned":
             # mesh-aware: the Pallas histogram/backward run per data shard
             # under shard_map instead of being replicated by the partitioner
@@ -180,7 +183,10 @@ def _prep_source(batch, key, cfg: ExperimentConfig):
     augmentable = cfg.data.train_dataset != "cityscapes"
     if augmentable and cfg.augment.pipeline != "no_new_aug":
         return augment_batch(images_u8, labels, key, cfg.augment)
-    return normalize_u8(images_u8, cfg.augment), labels
+    # Normalize at >=f32 (f64 under the x64 parity tests — keeps the whole
+    # step's math at the compute dtype; plain f32 in production).
+    dt = jnp.promote_types(jnp.dtype(cfg.model.compute_dtype), jnp.float32)
+    return normalize_u8(images_u8, cfg.augment, dtype=dt), labels
 
 
 def make_train_step(
@@ -241,8 +247,12 @@ def make_train_step(
     ) -> Tuple[TrainState, Metrics]:
         key = jax.random.fold_in(rng, state.step)
         images_s, labels_s = _prep_source(batch, key, cfg)
-        images_t = normalize_u8(batch["target_image"], cfg.augment)
         compute_dtype = jnp.dtype(cfg.model.compute_dtype)
+        images_t = normalize_u8(
+            batch["target_image"],
+            cfg.augment,
+            dtype=jnp.promote_types(compute_dtype, jnp.float32),
+        )
         images_s = images_s.astype(compute_dtype)
         images_t = images_t.astype(compute_dtype)
 
@@ -279,8 +289,10 @@ def make_train_step(
             """What D consumes: softmax of the (optionally block-mean
             pooled) logits, in compute dtype (reference train.py:249-307;
             pooling is the disc_downsample opt-in)."""
+            pooled = _block_mean(pred, pool)
             return jax.nn.softmax(
-                _block_mean(pred, pool).astype(jnp.float32), axis=-1
+                pooled.astype(jnp.promote_types(pooled.dtype, jnp.float32)),
+                axis=-1,
             ).astype(compute_dtype)
 
         sm_s = jax.lax.stop_gradient(disc_input(pred_s0))

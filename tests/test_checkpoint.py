@@ -231,3 +231,17 @@ def test_periodic_placeholder_ious_not_reported(tmp_path):
     mgr.wait()
     _, meta = mgr.restore_into(make_state(cfg), "best")
     np.testing.assert_allclose(meta["per_class_ious"], ious)
+
+
+def test_host_batches_per_epoch_meta_roundtrip(tmp_path):
+    """ADVICE r1: the saving run's target-stream consumption rate rides in
+    the checkpoint so a resume with a different epoch length realigns the
+    adversarial target stream from the SAVED rate, not its own."""
+    cfg = small_cfg(tmp_path)
+    state = make_state(cfg)
+    ckpt = CheckpointManager(cfg)
+    ckpt.save_periodic(state, epoch=2, host_batches_per_epoch=37)
+    ckpt.wait()
+    _, meta = ckpt.restore_into(state, "latest")
+    assert meta["host_batches_per_epoch"] == 37
+    ckpt.close()

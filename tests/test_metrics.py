@@ -8,6 +8,7 @@ from rtda_semanticsegmentation_tpu.ops.metrics import (
     confusion_matrix,
     mean_iou,
     per_class_iou,
+    per_class_iou_np,
 )
 from oracles import fast_hist_oracle, per_class_iou_oracle
 
@@ -51,6 +52,42 @@ def test_confusion_matrix_accumulates_across_batches():
         total = total + confusion_matrix(jnp.array(labels[i]), jnp.array(preds[i]), 19)
     want = fast_hist_oracle(labels.ravel(), preds.ravel(), 19)
     np.testing.assert_array_equal(np.asarray(total), want)
+
+
+def test_mean_iou_equals_reference_nanmean():
+    """Pins the absent-class semantics: the reference takes np.nanmean over
+    per-class IoUs (validation.py:135-136) where an absent class's 0/0 is
+    NaN; per_class_iou already maps that class to 0 via its epsilon
+    (0/eps = 0), so nanmean over the *raw* ratios equals the plain mean we
+    take — an equivalence a future epsilon change must not break."""
+    rng = np.random.default_rng(3)
+    hist = rng.integers(0, 1000, size=(19, 19)).astype(np.float64)
+    for absent in (4, 11):  # classes absent from labels AND predictions
+        hist[absent] = 0.0
+        hist[:, absent] = 0.0
+    tp = np.diag(hist)
+    with np.errstate(invalid="ignore"):
+        raw = tp / (hist.sum(1) + hist.sum(0) - tp)  # reference: NaN when absent
+    raw[np.isnan(raw)] = 0.0  # utils.py:92-116 nan->0 before nanmean
+    want = np.nanmean(raw)
+    got = float(mean_iou(jnp.asarray(hist)))
+    assert got == pytest.approx(want, rel=1e-5)
+    np_got = per_class_iou_np(hist)
+    np.testing.assert_allclose(np_got, raw, rtol=1e-5, atol=1e-8)
+
+
+def test_per_class_iou_np_float64_exact_past_2pow24():
+    """Host IoU reduction must be float64: int64 counts past 2^24 would round
+    in float32 (~6e-8 relative error the reference's numpy path never has)."""
+    tp0, fp0 = (1 << 30) + 1, (1 << 24) + 3
+    hist = np.zeros((2, 2), np.int64)
+    hist[0, 0], hist[0, 1], hist[1, 1] = tp0, fp0, 7
+    want0 = tp0 / (tp0 + fp0 + 1e-5)
+    got = per_class_iou_np(hist)
+    assert got[0] == pytest.approx(want0, rel=1e-14)
+    # the old float32 device path loses the +1/+3 (2^30+1 rounds to 2^30)
+    old = np.asarray(per_class_iou(jnp.asarray(hist.astype(np.float32))))
+    assert old[0] != got[0]
 
 
 def test_evaluate_hist_accumulation_past_int32():
