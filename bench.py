@@ -248,7 +248,7 @@ def _build_int8(variables):
 
     # the agreement probe is held out: drawn AFTER the calibration batches,
     # so calibrated activation clipping is actually exercised
-    return variables, forward, batch().astype(jnp.bfloat16)
+    return variables, forward, batch().astype(jnp.bfloat16), cfg.model.quant_clip
 
 
 def _devices_with_retry(attempts: int = 5, wait_s: float = 60.0):
@@ -341,12 +341,13 @@ def main() -> None:
             "trained weights (25 synthetic steps)"
             if trained_vars is not None else "random init (fallback)"
         )
-        q_vars, q_forward, probe = _build_int8(fid_vars)
+        q_vars, q_forward, probe, q_clip = _build_int8(fid_vars)
         a = jnp.argmax(forward(q_vars, probe), -1)
         bq = jnp.argmax(q_forward(q_vars, probe), -1)
         agreement = float(jnp.mean(a == bq))
         print(
-            f"int8 argmax agreement vs bf16 on {provenance}: {agreement:.4f}",
+            f"int8 argmax agreement vs bf16 on {provenance} "
+            f"(clip={q_clip}): {agreement:.4f}",
             file=sys.stderr,
         )
         best_q, best_qb, best_qsec = 0.0, 0, 0.0

@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "calibrated on the first --calib_batches batches of "
                         "the inputs themselves.")
     p.add_argument("--calib_batches", type=int, default=2)
+    p.add_argument("--quant_clip", type=float, default=None,
+                   help="int8 activation-scale clip quantile (1.0 = exact "
+                        "max|x|; default: ModelConfig.quant_clip = 0.999, "
+                        "outlier-robust on trained weights).")
     p.add_argument("--overlay", action="store_true",
                    help="Also write a 60/40 image/mask blend per input.")
     p.add_argument("--no_resize_back", action="store_true",
@@ -165,6 +169,8 @@ def main(argv=None) -> int:
         context_path=args.context_path,
         compute_dtype=dtype,
         pretrained_backbone=None,
+        **({"quant_clip": args.quant_clip}
+           if args.quant_clip is not None else {}),
     )
     cfg = ExperimentConfig(model=mcfg)
     if args.checkpoint_dir:

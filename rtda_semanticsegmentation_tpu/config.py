@@ -137,6 +137,11 @@ class ModelConfig:
     # (models/quantize.py). v5e's MXU runs s8 at 2x the bf16 rate.
     quant: str = "none"
     quant_min_ch: int = 64
+    # Activation-scale clip quantile for calibration: 1.0 = exact max|x|;
+    # q < 1.0 clips to the q-quantile of |x| (outlier-robust — trained ReLU
+    # nets grow heavy activation tails that waste the int8 range; see
+    # ops/quant.py::calib_clip and PERFORMANCE.md int8 section).
+    quant_clip: float = 0.999
 
 
 @dataclass(frozen=True)

@@ -48,6 +48,7 @@ class SpatialPath(nn.Module):
     phase: int = 0  # multi-phase conv for the MXU-starved RGB conv (0 = off)
     quant: str = "none"
     quant_min_ch: int = 64
+    quant_clip: float = 0.999
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -59,6 +60,7 @@ class SpatialPath(nn.Module):
                 ch, dtype=self.dtype, name=f"convblock{i + 1}",
                 phase_factor=self.phase if i == 0 else 0,
                 quant=self.quant, quant_min_ch=self.quant_min_ch,
+                quant_clip=self.quant_clip,
             )(x, train)
         return x
 
@@ -95,6 +97,7 @@ class FeatureFusionModule(nn.Module):
     dtype: Dtype = jnp.bfloat16
     quant: str = "none"
     quant_min_ch: int = 64
+    quant_clip: float = 0.999
 
     @nn.compact
     def __call__(self, sx, cx, train: bool = False):
@@ -102,6 +105,7 @@ class FeatureFusionModule(nn.Module):
         feature = ConvBN(
             self.num_classes, (3, 3), (1, 1), dtype=self.dtype, name="convblock",
             quant=self.quant, quant_min_ch=self.quant_min_ch,
+            quant_clip=self.quant_clip,
         )(x, train)
         g = global_avg_pool(feature, keepdims=True)
         g = nn.relu(
@@ -142,12 +146,16 @@ class BiSeNet(nn.Module):
     # (models/quantize.py). Inference-only: train always uses 'none'.
     quant: str = "none"
     quant_min_ch: int = 64
+    quant_clip: float = 0.999
 
     @nn.compact
     def __call__(self, x, train: bool = False, upsample: bool = True):
         h, w = x.shape[1], x.shape[2]
         phase = 4 if self.fast_input else 0
-        q = dict(quant=self.quant, quant_min_ch=self.quant_min_ch)
+        q = dict(
+            quant=self.quant, quant_min_ch=self.quant_min_ch,
+            quant_clip=self.quant_clip,
+        )
         sx = SpatialPath(dtype=self.dtype, name="spatial_path", phase=phase, **q)(
             x, train
         )

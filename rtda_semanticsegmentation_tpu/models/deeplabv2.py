@@ -52,6 +52,7 @@ class DeepLabV2(nn.Module):
     fast_input: bool = False  # phase-conv RGB stem (exact; see layers.conv_phase)
     quant: str = "none"  # int8 PTQ serving path (see models/quantize.py)
     quant_min_ch: int = 64
+    quant_clip: float = 0.999
 
     @nn.compact
     def __call__(self, x, train: bool = False, upsample: bool = True):
@@ -61,6 +62,7 @@ class DeepLabV2(nn.Module):
             dtype=self.dtype, name="resnet",
             stem_phase=4 if self.fast_input else 0,
             quant=self.quant, quant_min_ch=self.quant_min_ch,
+            quant_clip=self.quant_clip,
         )(x, train)
         logits = ASPP(self.num_classes, dtype=self.dtype, name="aspp")(c4)
         # upsample=False (eval only): 1/8-resolution logits (exactly

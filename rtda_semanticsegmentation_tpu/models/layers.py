@@ -249,10 +249,15 @@ class QuantConv(nn.Module):
     mode: str = "calib"  # calib | int8
     dtype: Dtype = jnp.bfloat16
     kernel_init: Callable = kaiming_normal_fan_in
+    # Activation-scale clip quantile: 1.0 = exact max|x|; q < 1.0 clips to
+    # the q-quantile of |x| (outlier-robust on trained weights — see
+    # ops/quant.py::calib_clip). Applied at calibration time; the recorded
+    # ``in_absmax`` stat is the chosen clip value.
+    clip: float = 0.999
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.quant import int8_conv
+        from ..ops.quant import calib_clip, int8_conv
 
         kh, kw = self.kernel_size
         kernel = self.param(
@@ -267,9 +272,7 @@ class QuantConv(nn.Module):
         d = (self.dilation, self.dilation)
         if self.mode == "calib":
             if not self.is_initializing():
-                stat.value = jnp.maximum(
-                    stat.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
-                )
+                stat.value = jnp.maximum(stat.value, calib_clip(x, self.clip))
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
@@ -318,6 +321,7 @@ class ConvBN(nn.Module):
     phase_factor: int = 0
     quant: str = "none"  # none | calib | int8
     quant_min_ch: int = 64
+    quant_clip: float = 0.999  # activation clip quantile (QuantConv.clip)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -331,6 +335,7 @@ class ConvBN(nn.Module):
                 mode=self.quant,
                 dtype=self.dtype,
                 kernel_init=self.kernel_init,
+                clip=self.quant_clip,
                 name="conv",
             )(x)
         elif self.phase_factor > 1 and self.dilation == 1:

@@ -34,10 +34,14 @@ class BasicBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     quant: str = "none"
     quant_min_ch: int = 64
+    quant_clip: float = 0.999
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        q = dict(quant=self.quant, quant_min_ch=self.quant_min_ch)
+        q = dict(
+            quant=self.quant, quant_min_ch=self.quant_min_ch,
+            quant_clip=self.quant_clip,
+        )
         residual = x
         y = ConvBN(
             self.filters, (3, 3), (self.strides, self.strides),
@@ -74,10 +78,14 @@ class Bottleneck(nn.Module):
     dtype: Dtype = jnp.bfloat16
     quant: str = "none"
     quant_min_ch: int = 64
+    quant_clip: float = 0.999
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        q = dict(quant=self.quant, quant_min_ch=self.quant_min_ch)
+        q = dict(
+            quant=self.quant, quant_min_ch=self.quant_min_ch,
+            quant_clip=self.quant_clip,
+        )
         s1 = self.strides if self.stride_on_first else 1
         s2 = 1 if self.stride_on_first else self.strides
         out_ch = self.filters * 4
@@ -126,6 +134,7 @@ class ResNetFeatures(nn.Module):
     stem_phase: int = 0  # multi-phase factor for the RGB stem conv (0/1 = off)
     quant: str = "none"  # int8 serving path (see layers.QuantConv)
     quant_min_ch: int = 64
+    quant_clip: float = 0.999
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -170,6 +179,7 @@ class ResNetFeatures(nn.Module):
                     name=f"layer{stage + 1}_{i}",
                     quant=self.quant,
                     quant_min_ch=self.quant_min_ch,
+                    quant_clip=self.quant_clip,
                 )
                 if block_cls is Bottleneck:
                     kwargs.update(
@@ -195,6 +205,7 @@ class ContextPath(nn.Module):
     stem_phase: int = 0
     quant: str = "none"
     quant_min_ch: int = 64
+    quant_clip: float = 0.999
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -202,6 +213,7 @@ class ContextPath(nn.Module):
             depth=self.depth, output_stride=32, dtype=self.dtype, name="resnet",
             stem_phase=self.stem_phase,
             quant=self.quant, quant_min_ch=self.quant_min_ch,
+            quant_clip=self.quant_clip,
         )(x, train)
         tail = global_avg_pool(c4, keepdims=True)
         return c3, c4, tail

@@ -13,10 +13,13 @@ Scheme (standard static symmetric PTQ):
   forward — one elementwise pass over ~11M weights, noise next to the convs
   — so there is exactly one checkpoint format.
 - **Activations**: per-tensor symmetric int8 with a *calibrated* scale:
-  a calibration pass records max|x| at every quantized conv input into a
-  ``quant_stats`` flax collection (see ``models/quantize.py``). Symmetric
-  quantization wastes the negative half-range on post-ReLU tensors (~7
-  effective bits) but needs no zero-point correction terms in the conv.
+  a calibration pass records a clip statistic of |x| at every quantized
+  conv input into a ``quant_stats`` flax collection (see
+  ``models/quantize.py``) — exact max, or an outlier-robust quantile when
+  ``ModelConfig.quant_clip < 1.0`` (default 0.999; see :func:`calib_clip`).
+  Symmetric quantization wastes the negative half-range on post-ReLU
+  tensors (~7 effective bits) but needs no zero-point correction terms in
+  the conv.
 - **Accumulation** in int32 on the MXU; dequantize with the folded
   ``s_x * s_w[c]`` per-channel factor straight into the compute dtype, where
   the following BatchNorm scale/shift fuses with it.
@@ -43,6 +46,26 @@ def quantize_weight(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     sw = weight_scales(kernel)
     q = jnp.round(kernel.astype(jnp.float32) / sw)
     return jnp.clip(q, -127, 127).astype(jnp.int8), sw
+
+
+def calib_clip(x: jnp.ndarray, q: float, max_samples: int = 1 << 20) -> jnp.ndarray:
+    """Calibration clip statistic for one batch: scalar f32.
+
+    ``q >= 1.0`` returns exact max|x| (the round-1 scheme). ``q < 1.0``
+    returns the q-quantile of |x| over a strided subsample of at most
+    ``max_samples`` elements — trained ReLU nets grow heavy-tailed
+    activation outliers, and scaling int8 to the absolute max spends the
+    8-bit budget on a handful of pixels (measured: argmax agreement vs
+    bf16 drops to ~0.94 on trained BiSeNet weights with max-abs, recovers
+    above the 0.99 serving gate with q=0.999). The subsample keeps the
+    sort O(1M log 1M) regardless of activation size; at q=0.999 the tail
+    still holds ~1000 samples, plenty for a stable estimate.
+    """
+    a = jnp.abs(x.astype(jnp.float32)).reshape(-1)
+    if q >= 1.0:
+        return jnp.max(a)
+    step = max(1, a.shape[0] // max_samples)
+    return jnp.quantile(a[::step], q)
 
 
 def act_scale(absmax: jnp.ndarray) -> jnp.ndarray:

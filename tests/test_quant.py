@@ -80,7 +80,12 @@ def bisenet_quant():
 
 
 def test_bisenet_int8_matches_f32(bisenet_quant):
+    # clip=1.0 pins the exact max-abs scheme for the tight L2 check; the
+    # default quantile clip (0.999) trades L2 on Gaussian random-init
+    # activations for argmax fidelity on trained ones (heavy-tailed), and
+    # is covered by test_bisenet_int8_default_clip_agreement below.
     cfg, model, variables, x = bisenet_quant
+    cfg = dataclasses.replace(cfg, quant_clip=1.0)
     ref = np.asarray(model.apply(variables, x, False), np.float32)
     cal = calibrate(cfg, variables, [x])
     out = np.asarray(quantized_model(cfg).apply(cal, x, False), np.float32)
@@ -91,10 +96,23 @@ def test_bisenet_int8_matches_f32(bisenet_quant):
     assert agree > 0.95, agree
 
 
+def test_bisenet_int8_default_clip_agreement(bisenet_quant):
+    """The default (quantile-clipped) calibration still serves: argmax
+    agreement holds even on random-init weights, where clipping is most
+    costly (near-Gaussian activations have no outliers to discard)."""
+    cfg, model, variables, x = bisenet_quant
+    assert cfg.quant_clip < 1.0  # default is the robust clip
+    ref = np.asarray(model.apply(variables, x, False), np.float32)
+    cal = calibrate(cfg, variables, [x])
+    out = np.asarray(quantized_model(cfg).apply(cal, x, False), np.float32)
+    agree = (out.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.93, agree
+
+
 def test_deeplabv2_int8_matches_f32():
     """The dilated-conv (ASPP-fed) trunk also serves on the s8 path; the
     ASPP classifier itself stays in the compute dtype by design."""
-    cfg = ModelConfig(name="deeplabv2", compute_dtype="float32")
+    cfg = ModelConfig(name="deeplabv2", compute_dtype="float32", quant_clip=1.0)
     model = build_model(cfg)
     rng = np.random.RandomState(3)
     variables = init_model(model, jax.random.PRNGKey(0), (1, 64, 128, 3), train=False)
@@ -153,6 +171,38 @@ def test_calibrate_requires_batches(bisenet_quant):
     cfg, model, variables, x = bisenet_quant
     with pytest.raises(ValueError):
         calibrate(cfg, variables, [])
+
+
+def test_calib_clip_statistic():
+    """clip=1.0 is the exact max; q<1 discards outliers (the scale a lone
+    huge activation would otherwise dictate — ops/quant.py::calib_clip)."""
+    from rtda_semanticsegmentation_tpu.ops.quant import calib_clip
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 64, 8).astype(np.float32))
+    np.testing.assert_allclose(
+        float(calib_clip(x, 1.0)), float(jnp.max(jnp.abs(x))), rtol=1e-6
+    )
+    # inject one extreme outlier: the max chases it, the quantile does not
+    x_out = x.at[0, 0, 0].set(1e4)
+    assert float(calib_clip(x_out, 1.0)) == 1e4
+    clipped = float(calib_clip(x_out, 0.999))
+    assert clipped < 10.0, clipped  # ~p999 of N(0,1) ~= 3.3
+    # and the quantile is a faithful estimate of the bulk's p999
+    expect = float(np.quantile(np.abs(np.asarray(x)), 0.999))
+    assert abs(clipped - expect) / expect < 0.05
+
+
+def test_calib_clip_subsamples_large_inputs():
+    """The strided subsample keeps calibration cheap on full-res activation
+    maps without losing the estimate (tail still holds ~1k samples)."""
+    from rtda_semanticsegmentation_tpu.ops.quant import calib_clip
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4 << 20).astype(np.float32))  # 4M > 1M cap
+    got = float(calib_clip(x, 0.999))
+    expect = float(np.quantile(np.abs(np.asarray(x)), 0.999))
+    assert abs(got - expect) / expect < 0.05, (got, expect)
 
 
 def test_calibration_is_max_merged(bisenet_quant):
