@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "calibration.")
     p.add_argument("--calib_batches", type=int, default=2)
     p.add_argument("--calib_batch_size", type=int, default=8)
+    p.add_argument("--quant_clip", type=float, default=None,
+                   help="int8 activation clip quantile; 1.0 = exact "
+                        "max|x|; default: ModelConfig.quant_clip = 0.999. "
+                        "Recorded in the artifact metadata so exports are "
+                        "pinnable.")
     p.add_argument("--platforms", default="tpu,cpu",
                    help="Comma-separated lowering targets (default tpu,cpu).")
     return p
@@ -81,6 +86,8 @@ def main(argv=None) -> int:
         context_path=args.context_path,
         compute_dtype=dtype,
         pretrained_backbone=None,
+        **({"quant_clip": args.quant_clip}
+           if args.quant_clip is not None else {}),
     )
     cfg = ExperimentConfig(model=mcfg)
     if args.checkpoint_dir:

@@ -142,6 +142,12 @@ class ModelConfig:
     # nets grow heavy activation tails that waste the int8 range; see
     # ops/quant.py::calib_clip and PERFORMANCE.md int8 section).
     quant_clip: float = 0.999
+    # Module-path substrings excluded from int8 (kept on the bf16 path even
+    # in 'calib'/'int8' mode): matched against the bound flax path of each
+    # ConvBN, e.g. ("ffm", "layer4"). Lever for trading throughput back for
+    # argmax fidelity on quantization-sensitive (logits-adjacent) convs;
+    # sensitivity ranking: scripts/probe_int8_layers.py.
+    quant_skip: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

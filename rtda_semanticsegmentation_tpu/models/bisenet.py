@@ -49,6 +49,7 @@ class SpatialPath(nn.Module):
     quant: str = "none"
     quant_min_ch: int = 64
     quant_clip: float = 0.999
+    quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -60,7 +61,7 @@ class SpatialPath(nn.Module):
                 ch, dtype=self.dtype, name=f"convblock{i + 1}",
                 phase_factor=self.phase if i == 0 else 0,
                 quant=self.quant, quant_min_ch=self.quant_min_ch,
-                quant_clip=self.quant_clip,
+                quant_clip=self.quant_clip, quant_skip=self.quant_skip,
             )(x, train)
         return x
 
@@ -98,6 +99,7 @@ class FeatureFusionModule(nn.Module):
     quant: str = "none"
     quant_min_ch: int = 64
     quant_clip: float = 0.999
+    quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, sx, cx, train: bool = False):
@@ -105,7 +107,7 @@ class FeatureFusionModule(nn.Module):
         feature = ConvBN(
             self.num_classes, (3, 3), (1, 1), dtype=self.dtype, name="convblock",
             quant=self.quant, quant_min_ch=self.quant_min_ch,
-            quant_clip=self.quant_clip,
+            quant_clip=self.quant_clip, quant_skip=self.quant_skip,
         )(x, train)
         g = global_avg_pool(feature, keepdims=True)
         g = nn.relu(
@@ -147,6 +149,7 @@ class BiSeNet(nn.Module):
     quant: str = "none"
     quant_min_ch: int = 64
     quant_clip: float = 0.999
+    quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False, upsample: bool = True):
@@ -154,7 +157,7 @@ class BiSeNet(nn.Module):
         phase = 4 if self.fast_input else 0
         q = dict(
             quant=self.quant, quant_min_ch=self.quant_min_ch,
-            quant_clip=self.quant_clip,
+            quant_clip=self.quant_clip, quant_skip=self.quant_skip,
         )
         sx = SpatialPath(dtype=self.dtype, name="spatial_path", phase=phase, **q)(
             x, train

@@ -53,6 +53,7 @@ class DeepLabV2(nn.Module):
     quant: str = "none"  # int8 PTQ serving path (see models/quantize.py)
     quant_min_ch: int = 64
     quant_clip: float = 0.999
+    quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False, upsample: bool = True):
@@ -62,7 +63,7 @@ class DeepLabV2(nn.Module):
             dtype=self.dtype, name="resnet",
             stem_phase=4 if self.fast_input else 0,
             quant=self.quant, quant_min_ch=self.quant_min_ch,
-            quant_clip=self.quant_clip,
+            quant_clip=self.quant_clip, quant_skip=self.quant_skip,
         )(x, train)
         logits = ASPP(self.num_classes, dtype=self.dtype, name="aspp")(c4)
         # upsample=False (eval only): 1/8-resolution logits (exactly

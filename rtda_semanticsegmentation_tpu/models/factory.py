@@ -30,12 +30,13 @@ def build_model(cfg: ModelConfig):
             quant=cfg.quant,
             quant_min_ch=cfg.quant_min_ch,
             quant_clip=cfg.quant_clip,
+            quant_skip=cfg.quant_skip,
         )
     if cfg.name == "deeplabv2":
         return DeepLabV2(
             num_classes=cfg.num_classes, dtype=dtype, fast_input=cfg.fast_input,
             quant=cfg.quant, quant_min_ch=cfg.quant_min_ch,
-            quant_clip=cfg.quant_clip,
+            quant_clip=cfg.quant_clip, quant_skip=cfg.quant_skip,
         )
     raise ValueError(f"unknown model {cfg.name!r}; options: bisenet, deeplabv2")
 

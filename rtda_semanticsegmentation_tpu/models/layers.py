@@ -232,13 +232,14 @@ class QuantConv(nn.Module):
     Parameter tree is identical to ``nn.Conv(name=...)`` (one f32 ``kernel``),
     so train/eval checkpoints load unchanged. Two modes:
 
-    - ``calib``: runs the normal compute-dtype conv while recording
-      max|input| into the mutable ``quant_stats`` collection (max-merged
-      across calibration batches).
-    - ``int8``: quantizes the input per-tensor with the calibrated scale and
-      the kernel per-output-channel, convolves s8 x s8 -> s32 on the MXU,
-      dequantizes into the compute dtype (see ``ops/quant.py``). Requires a
-      prior calibration pass (``models/quantize.py::calibrate``).
+    - ``calib``: runs the normal compute-dtype conv while recording a
+      per-input-channel clip statistic of |input| into the mutable
+      ``quant_stats`` collection (max-merged across calibration batches).
+    - ``int8``: quantizes the input per-input-channel with the calibrated
+      scales (exactly folded into the kernel) and the folded kernel
+      per-output-channel, convolves s8 x s8 -> s32 on the MXU, dequantizes
+      into the compute dtype (see ``ops/quant.py``). Requires a prior
+      calibration pass (``models/quantize.py::calibrate``).
     """
 
     features: int
@@ -257,22 +258,25 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.quant import calib_clip, int8_conv
+        from ..ops.quant import calib_clip_channels, int8_conv
 
         kh, kw = self.kernel_size
+        ci = x.shape[-1]
         kernel = self.param(
             "kernel",
             self.kernel_init,
-            (kh, kw, x.shape[-1], self.features),
+            (kh, kw, ci, self.features),
             jnp.float32,
         )
         stat = self.variable(
-            "quant_stats", "in_absmax", lambda: jnp.zeros((), jnp.float32)
+            "quant_stats", "in_absmax", lambda: jnp.zeros((ci,), jnp.float32)
         )
         d = (self.dilation, self.dilation)
         if self.mode == "calib":
             if not self.is_initializing():
-                stat.value = jnp.maximum(stat.value, calib_clip(x, self.clip))
+                stat.value = jnp.maximum(
+                    stat.value, calib_clip_channels(x, self.clip)
+                )
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
@@ -282,6 +286,10 @@ class QuantConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         assert self.mode == "int8", self.mode
+        # unsigned=True: every quantized conv in these models consumes a
+        # post-ReLU (or ReLU*gate) tensor, x >= 0 — the RGB stems that see
+        # signed normalized input are excluded by quant_min_ch. The affine
+        # unsigned grid buys one effective bit (ops/quant.py).
         return int8_conv(
             x,
             kernel,
@@ -290,6 +298,7 @@ class QuantConv(nn.Module):
             self.padding,
             dilation=d,
             out_dtype=self.dtype,
+            unsigned=True,
         )
 
 
@@ -322,10 +331,20 @@ class ConvBN(nn.Module):
     quant: str = "none"  # none | calib | int8
     quant_min_ch: int = 64
     quant_clip: float = 0.999  # activation clip quantile (QuantConv.clip)
+    # bound-path substrings that keep this conv on the bf16 path even in
+    # calib/int8 mode (ModelConfig.quant_skip): logits-adjacent convs are
+    # the argmax-fidelity bottleneck (scripts/probe_int8_layers.py)
+    quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.quant != "none" and x.shape[-1] >= self.quant_min_ch:
+        path = "/".join(self.path)
+        quantize = (
+            self.quant != "none"
+            and x.shape[-1] >= self.quant_min_ch
+            and not any(pat in path for pat in self.quant_skip)
+        )
+        if quantize:
             x = QuantConv(
                 self.features,
                 self.kernel_size,

@@ -7,10 +7,16 @@ layered on the trained checkpoints (scheme in ``ops/quant.py``). Usage:
     model_q = quantized_model(cfg.model)                         # quant='int8'
     logits = model_q.apply(variables, images, False)             # s8 MXU path
 
-``calibrate`` records per-conv input max|x| into a ``quant_stats`` flax
-collection (max-merged over batches); the quantized apply reads those stats
-and needs no other state — weights quantize on the fly from the same f32
-params the bf16 path uses, so checkpoints are format-identical.
+``calibrate`` records a per-conv, per-INPUT-CHANNEL clip statistic (ci,)
+into a ``quant_stats`` flax collection: exact per-channel max|x| when
+``ModelConfig.quant_clip >= 1.0``, else the ``quant_clip``-quantile of |x|
+per channel per calibration batch (``ops/quant.py::calib_clip_channels``).
+Batches merge by **max of the per-batch quantiles** — a deliberately
+conservative upper estimate of the pooled-set quantile (cheap,
+order-independent, and errs toward a wider int8 range rather than extra
+saturation). The quantized apply reads those stats and needs no other state
+— weights quantize on the fly from the same f32 params the bf16 path uses
+(channel-folded, see ``ops/quant.py``), so checkpoints are format-identical.
 """
 
 from __future__ import annotations

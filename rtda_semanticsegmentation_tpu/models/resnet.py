@@ -35,12 +35,13 @@ class BasicBlock(nn.Module):
     quant: str = "none"
     quant_min_ch: int = 64
     quant_clip: float = 0.999
+    quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         q = dict(
             quant=self.quant, quant_min_ch=self.quant_min_ch,
-            quant_clip=self.quant_clip,
+            quant_clip=self.quant_clip, quant_skip=self.quant_skip,
         )
         residual = x
         y = ConvBN(
@@ -79,12 +80,13 @@ class Bottleneck(nn.Module):
     quant: str = "none"
     quant_min_ch: int = 64
     quant_clip: float = 0.999
+    quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         q = dict(
             quant=self.quant, quant_min_ch=self.quant_min_ch,
-            quant_clip=self.quant_clip,
+            quant_clip=self.quant_clip, quant_skip=self.quant_skip,
         )
         s1 = self.strides if self.stride_on_first else 1
         s2 = 1 if self.stride_on_first else self.strides
@@ -135,6 +137,7 @@ class ResNetFeatures(nn.Module):
     quant: str = "none"  # int8 serving path (see layers.QuantConv)
     quant_min_ch: int = 64
     quant_clip: float = 0.999
+    quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -180,6 +183,7 @@ class ResNetFeatures(nn.Module):
                     quant=self.quant,
                     quant_min_ch=self.quant_min_ch,
                     quant_clip=self.quant_clip,
+                    quant_skip=self.quant_skip,
                 )
                 if block_cls is Bottleneck:
                     kwargs.update(
@@ -206,6 +210,7 @@ class ContextPath(nn.Module):
     quant: str = "none"
     quant_min_ch: int = 64
     quant_clip: float = 0.999
+    quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -213,7 +218,7 @@ class ContextPath(nn.Module):
             depth=self.depth, output_stride=32, dtype=self.dtype, name="resnet",
             stem_phase=self.stem_phase,
             quant=self.quant, quant_min_ch=self.quant_min_ch,
-            quant_clip=self.quant_clip,
+            quant_clip=self.quant_clip, quant_skip=self.quant_skip,
         )(x, train)
         tail = global_avg_pool(c4, keepdims=True)
         return c3, c4, tail

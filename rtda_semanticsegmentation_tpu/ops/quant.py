@@ -6,31 +6,50 @@ addition: v5e's MXU runs s8 x s8 -> s32 at twice the bf16 rate, and the
 chained-conv probe (``scripts/bench_int8_conv.py``) measured 1.7-1.9x faster
 convs at the 128/256-channel BiSeNet shapes.
 
-Scheme (standard static symmetric PTQ):
+Scheme (static symmetric PTQ, per-channel on BOTH operands):
 
-- **Weights**: per-output-channel symmetric int8, scale = maxabs/127 over
-  (kh, kw, ci). Quantized on the fly from the f32 params inside the jitted
-  forward — one elementwise pass over ~11M weights, noise next to the convs
-  — so there is exactly one checkpoint format.
-- **Activations**: per-tensor symmetric int8 with a *calibrated* scale:
-  a calibration pass records a clip statistic of |x| at every quantized
-  conv input into a ``quant_stats`` flax collection (see
+- **Activations**: per-INPUT-CHANNEL symmetric int8. Trained ReLU nets grow
+  strongly heterogeneous per-channel magnitudes (measured: one global scale
+  left argmax agreement at ~0.90 on trained BiSeNet weights — channels 8x
+  below the global clip quantize to a handful of codes); a per-channel scale
+  is *exactly foldable* into the conv because the contraction runs over the
+  channel axis: ``conv(x, w) == conv(x / s[ci], w * s[ci])``. The fold
+  costs one broadcast multiply on each operand, fused into the conv
+  prologue. Scales come from a calibration pass recording a per-channel
+  clip statistic of |x| into a ``quant_stats`` flax collection (see
   ``models/quantize.py``) — exact max, or an outlier-robust quantile when
-  ``ModelConfig.quant_clip < 1.0`` (default 0.999; see :func:`calib_clip`).
-  Symmetric quantization wastes the negative half-range on post-ReLU
-  tensors (~7 effective bits) but needs no zero-point correction terms in
-  the conv.
-- **Accumulation** in int32 on the MXU; dequantize with the folded
-  ``s_x * s_w[c]`` per-channel factor straight into the compute dtype, where
-  the following BatchNorm scale/shift fuses with it.
+  ``ModelConfig.quant_clip < 1.0`` (default 0.999; :func:`calib_clip`).
+- **Weights**: per-output-channel symmetric int8 over the channel-folded
+  kernel ``w * s[ci]``, scale = maxabs/127 over (kh, kw, ci). Quantized on
+  the fly from the f32 params inside the jitted forward — one elementwise
+  pass over ~11M weights, noise next to the convs — so there is exactly one
+  checkpoint format.
+- **Accumulation** in int32 on the MXU; dequantize with the per-output
+  -channel ``s_w[co]`` factor (the activation scale cancelled in the fold)
+  straight into the compute dtype, where the following BatchNorm
+  scale/shift fuses with it.
+
+- **Unsigned activation range** (``unsigned=True``, the model path): every
+  quantized conv in these nets consumes a post-ReLU (or gated-ReLU) tensor,
+  x >= 0, so the symmetric signed grid would waste its negative half (~7
+  effective bits). Instead x maps affinely onto the full s8 grid with the
+  zero-point at code -127: ``q = round(x / s) - 127`` with ``s = m/254``.
+  The shift is corrected EXACTLY in integer arithmetic:
+  ``conv(q + 127, wq) = conv_s8(q, wq) + 127 * sum(wq)`` per output channel
+  — provided the spatial padding pads the *zero code* (-127), which is done
+  by explicit pre-padding + a VALID conv. One extra effective bit halves
+  the rounding noise of every quantized activation (measured: argmax
+  agreement on trained weights 0.966 -> see PERFORMANCE.md).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-12
 
@@ -48,32 +67,67 @@ def quantize_weight(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.clip(q, -127, 127).astype(jnp.int8), sw
 
 
-def calib_clip(x: jnp.ndarray, q: float, max_samples: int = 1 << 20) -> jnp.ndarray:
-    """Calibration clip statistic for one batch: scalar f32.
+def _coprime_stride(n: int, c: int, max_samples: int) -> int:
+    """Subsample stride coprime with the channel axis: a power-of-two stride
+    over a flattened NHWC tensor with power-of-two channels samples only
+    C/step of the channels — with heterogeneous per-channel magnitudes that
+    biases quantile estimates badly (observed 2.4x-too-small scales -> mass
+    int8 saturation; r2 advisor finding)."""
+    step = max(1, n // max_samples)
+    if step > 1:
+        step |= 1  # odd: coprime with every power-of-two layout
+        while math.gcd(step, c) != 1:
+            step += 2
+    return step
 
-    ``q >= 1.0`` returns exact max|x| (the round-1 scheme). ``q < 1.0``
-    returns the q-quantile of |x| over a strided subsample of at most
-    ``max_samples`` elements — trained ReLU nets grow heavy-tailed
-    activation outliers, and scaling int8 to the absolute max spends the
-    8-bit budget on a handful of pixels (measured: argmax agreement vs
-    bf16 drops to ~0.94 on trained BiSeNet weights with max-abs, recovers
-    above the 0.99 serving gate with q=0.999). The subsample keeps the
-    sort O(1M log 1M) regardless of activation size; at q=0.999 the tail
-    still holds ~1000 samples, plenty for a stable estimate.
+
+def calib_clip(x: jnp.ndarray, q: float, max_samples: int = 1 << 20) -> jnp.ndarray:
+    """Per-tensor calibration clip statistic for one batch: scalar f32.
+
+    ``q >= 1.0`` returns exact max|x|; ``q < 1.0`` returns the q-quantile of
+    |x| over a channel-unbiased strided subsample of at most ``max_samples``
+    elements. The subsample keeps the sort O(1M log 1M) regardless of
+    activation size; at q=0.999 the tail still holds ~1000 samples.
     """
     a = jnp.abs(x.astype(jnp.float32)).reshape(-1)
     if q >= 1.0:
         return jnp.max(a)
-    step = max(1, a.shape[0] // max_samples)
+    c = x.shape[-1] if x.ndim > 0 else 1
+    step = _coprime_stride(a.shape[0], c, max_samples)
     return jnp.quantile(a[::step], q)
 
 
-def act_scale(absmax: jnp.ndarray) -> jnp.ndarray:
-    """Per-tensor activation scale from a calibrated max|x| (scalar f32)."""
-    return jnp.maximum(absmax.astype(jnp.float32), _EPS) / 127.0
+def calib_clip_channels(
+    x: jnp.ndarray, q: float, max_samples: int = 1 << 20
+) -> jnp.ndarray:
+    """Per-INPUT-CHANNEL calibration clip statistic: (ci,) f32.
+
+    Same semantics as :func:`calib_clip` but computed per trailing-axis
+    channel (the statistic behind the channel-folded activation scales).
+    Subsampling strides over whole pixels (rows of the (P, C) view), so
+    every channel is sampled at every kept pixel.
+    """
+    c = x.shape[-1]
+    a = jnp.abs(x.astype(jnp.float32)).reshape(-1, c)
+    if q >= 1.0:
+        return jnp.max(a, axis=0)
+    step = max(1, a.shape[0] // max(1, max_samples // c))
+    return jnp.quantile(a[::step], q, axis=0)
+
+
+def act_scale(absmax: jnp.ndarray, unsigned: bool = False) -> jnp.ndarray:
+    """Activation scale(s) from calibrated clip stat: scalar or (ci,) f32.
+
+    ``unsigned`` spreads the non-negative range [0, m] over all 254 steps
+    of the s8 grid (zero-point handled in :func:`int8_conv`) instead of
+    symmetric ±m over 127.
+    """
+    denom = 254.0 if unsigned else 127.0
+    return jnp.maximum(absmax.astype(jnp.float32), _EPS) / denom
 
 
 def quantize_act(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """``scale`` broadcasts over the trailing (channel) axis."""
     q = jnp.round(x.astype(jnp.float32) / scale)
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
@@ -86,24 +140,65 @@ def int8_conv(
     padding,
     dilation: Tuple[int, int] = (1, 1),
     out_dtype=jnp.bfloat16,
+    unsigned: bool = False,
 ) -> jnp.ndarray:
     """NHWC conv computed on the int8 MXU path, dequantized to ``out_dtype``.
 
     ``kernel`` is the f32 (kh, kw, ci, co) parameter; ``in_absmax`` the
-    calibrated scalar max|x| for this conv's input. The quantize /
+    calibrated clip stat for this conv's input — scalar (per-tensor) or
+    (ci,) (per-channel, the default scheme). Per-channel scales fold
+    EXACTLY into the weight (``conv(x, w) == conv(x/s[ci], w*s[ci])``), so
+    the dequant factor is per-output-channel only. The quantize / fold /
     dequantize steps are elementwise and fuse into the conv prologue /
     epilogue under XLA; only the dot itself runs in s8.
+
+    ``unsigned=True`` (requires x >= 0, i.e. post-ReLU inputs; negatives
+    clamp to 0): maps [0, m] affinely onto the full [-127, 127] grid
+    (zero-point at -127) for one extra effective bit, with the shift
+    corrected exactly via ``127 * sum(wq)`` per output channel and
+    zero-code (-127) explicit padding. Requires explicit padding tuples.
     """
-    sx = act_scale(in_absmax)
-    xq = quantize_act(x, sx)
-    wq, sw = quantize_weight(kernel)
+    sx = act_scale(in_absmax, unsigned=unsigned)
+    folded = kernel.astype(jnp.float32) * (
+        sx if sx.ndim == 0 else sx[None, None, :, None]
+    )
+    wq, sw = quantize_weight(folded)
+    if not unsigned:
+        xq = quantize_act(x, sx)
+        y = jax.lax.conv_general_dilated(
+            xq,
+            wq,
+            strides,
+            padding,
+            rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * sw).astype(out_dtype)
+
+    if isinstance(padding, str):
+        raise ValueError(
+            "unsigned int8_conv needs explicit padding tuples (the pad "
+            f"value is the zero code), got {padding!r}"
+        )
+    q = jnp.round(x.astype(jnp.float32) / sx) - 127.0
+    xq = jnp.clip(q, -127, 127).astype(jnp.int8)
+    if any(p != 0 for pair in padding for p in pair):
+        xq = jnp.pad(
+            xq,
+            ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0)),
+            constant_values=np.int8(-127),
+        )
     y = jax.lax.conv_general_dilated(
         xq,
         wq,
         strides,
-        padding,
+        ((0, 0), (0, 0)),
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+    # exact integer zero-point correction: conv(q + 127, wq) ==
+    # conv_s8(q, wq) + 127 * sum_{kh,kw,ci}(wq) per output channel
+    corr = 127 * jnp.sum(wq.astype(jnp.int32), axis=(0, 1, 2))
+    return ((y + corr).astype(jnp.float32) * sw).astype(out_dtype)

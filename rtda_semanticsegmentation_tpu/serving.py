@@ -114,6 +114,9 @@ def export_serving(
         "context_path": model_cfg.context_path,
         "num_classes": model_cfg.num_classes,
         "precision": precision,
+        "quant_clip": (
+            model_cfg.quant_clip if precision == "int8" else None
+        ),
         "height": height,
         "width": width,
         "batch": batch,  # null => symbolic

@@ -157,8 +157,13 @@ def test_channel_policy_skips_few_channel_convs(bisenet_quant):
     # channel-rich convs must be
     assert any("spatial_path" in p and "convblock2" in p for p in paths)
     assert any("ffm" in p for p in paths)
-    # every recorded absmax is positive after calibration
-    assert all(float(v) > 0 for v in flat.values())
+    # per-INPUT-CHANNEL stats: 1-D, non-negative, and not all dead (a
+    # channel that is exactly zero on the calibration set records 0 and is
+    # served as ~0 via the eps-floored scale — correct for dead channels)
+    for p, v in flat.items():
+        v = np.asarray(v)
+        assert v.ndim == 1, p
+        assert (v >= 0).all() and v.max() > 0, p
 
 
 def test_int8_without_calibration_raises(bisenet_quant):
@@ -203,6 +208,157 @@ def test_calib_clip_subsamples_large_inputs():
     got = float(calib_clip(x, 0.999))
     expect = float(np.quantile(np.abs(np.asarray(x)), 0.999))
     assert abs(got - expect) / expect < 0.05, (got, expect)
+
+
+def test_calib_clip_stride_not_channel_aliased():
+    """Regression (r2 advisor, high): a power-of-two subsample stride over a
+    flattened NHWC tensor with power-of-two channels sampled only C/step
+    channels; with heterogeneous per-channel magnitudes the quantile came
+    out badly biased (2.4x-too-small scale -> mass int8 saturation). The
+    stride must be coprime with the channel axis."""
+    from rtda_semanticsegmentation_tpu.ops.quant import calib_clip
+
+    rng = np.random.RandomState(2)
+    # (4, 64, 128, 64) = 2M elements -> step 2 before the fix; channels get
+    # magnitudes spanning 1..8x so missing channels skews the quantile.
+    c_scale = np.linspace(1.0, 8.0, 64, dtype=np.float32)
+    x_np = rng.randn(4, 64, 128, 64).astype(np.float32) * c_scale
+    got = float(calib_clip(jnp.asarray(x_np), 0.999))
+    expect = float(np.quantile(np.abs(x_np), 0.999))
+    assert abs(got - expect) / expect < 0.05, (got, expect)
+
+
+def test_calib_clip_channels_matches_numpy():
+    """Per-channel quantile == numpy per-channel quantile (incl. the
+    subsampled path), on a tensor with heterogeneous channel scales."""
+    from rtda_semanticsegmentation_tpu.ops.quant import calib_clip_channels
+
+    rng = np.random.RandomState(5)
+    c_scale = np.linspace(0.5, 16.0, 32, dtype=np.float32)
+    x_np = rng.randn(2, 32, 64, 32).astype(np.float32) * c_scale
+    got = np.asarray(calib_clip_channels(jnp.asarray(x_np), 0.999))
+    expect = np.quantile(np.abs(x_np).reshape(-1, 32), 0.999, axis=0)
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+    # exact-max mode
+    got_max = np.asarray(calib_clip_channels(jnp.asarray(x_np), 1.0))
+    np.testing.assert_allclose(
+        got_max, np.abs(x_np).reshape(-1, 32).max(0), rtol=1e-6
+    )
+    # large tensor -> subsampled rows, still per-channel-faithful
+    big = rng.randn(4, 64, 256, 64).astype(np.float32) * np.linspace(
+        1, 8, 64, dtype=np.float32
+    )
+    got_big = np.asarray(calib_clip_channels(jnp.asarray(big), 0.999))
+    exp_big = np.quantile(np.abs(big).reshape(-1, 64), 0.999, axis=0)
+    assert (np.abs(got_big - exp_big) / exp_big < 0.05).all()
+
+
+def test_int8_conv_per_channel_beats_per_tensor_on_heterogeneous_input():
+    """The motivating case for the channel-folded scheme: input channels
+    spanning a 50x magnitude range. Per-tensor scales crush the small
+    channels to a few int8 codes; per-channel scales keep them faithful."""
+    from rtda_semanticsegmentation_tpu.ops.quant import int8_conv
+
+    rng = np.random.RandomState(6)
+    c_scale = np.logspace(-1, np.log10(5.0), 32).astype(np.float32)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32) * c_scale)
+    # weights counter-scaled so every channel contributes equally to the
+    # output — the regime where per-tensor input quantization loses the
+    # small channels' information entirely
+    w = jnp.asarray(
+        rng.randn(3, 3, 32, 64).astype(np.float32) * 0.05
+        / c_scale[:, None]
+    )
+    ref = np.asarray(_f32_conv(x, w))
+    per_channel = np.asarray(int8_conv(
+        x, w, jnp.max(jnp.abs(x), axis=(0, 1, 2)), (1, 1), ((1, 1), (1, 1)),
+        out_dtype=jnp.float32,
+    ))
+    per_tensor = np.asarray(int8_conv(
+        x, w, jnp.max(jnp.abs(x)), (1, 1), ((1, 1), (1, 1)),
+        out_dtype=jnp.float32,
+    ))
+    err_pc = np.linalg.norm(per_channel - ref) / np.linalg.norm(ref)
+    err_pt = np.linalg.norm(per_tensor - ref) / np.linalg.norm(ref)
+    assert err_pc < 0.02, err_pc
+    assert err_pc < 0.5 * err_pt, (err_pc, err_pt)
+
+
+@pytest.mark.parametrize(
+    "strides,dilation", [((1, 1), (1, 1)), ((2, 2), (1, 1)), ((1, 1), (2, 2))]
+)
+def test_int8_conv_unsigned_exact_on_grid(strides, dilation):
+    """The unsigned scheme's zero-point correction and zero-code padding are
+    EXACT integer arithmetic: inputs placed exactly on the quantization grid
+    (x = s*k, k in [0,254]) and weights on theirs must reproduce the f32
+    conv bit-for-bit — including border pixels, where symmetric zero-padding
+    would need position-dependent corrections."""
+    rng = np.random.RandomState(3)
+    ci, co = 32, 16
+    m = jnp.asarray(np.full(ci, 254.0, np.float32))  # -> s = 1.0/channel
+    x = jnp.asarray(
+        rng.randint(0, 255, size=(2, 9, 11, ci)).astype(np.float32)
+    )
+    # weights = integers * 2^-8: exactly f32-representable, and forcing
+    # |wi|=127 into every output channel makes the computed per-channel
+    # scale exactly 2^-8 (power-of-two division is exact), so the whole
+    # pipeline is integer math and the comparison is BITWISE
+    wi = rng.randint(-127, 128, size=(3, 3, ci, co)).astype(np.float32)
+    wi[0, 0, 0, :] = np.where(wi[0, 0, 0, :] < 0, -127.0, 127.0)
+    w = jnp.asarray(wi * 2.0 ** -8)
+    pad = ((dilation[0], dilation[0]), (dilation[1], dilation[1]))
+    ref = np.asarray(
+        _f32_conv(x, w, strides=strides, padding=pad, dilation=dilation)
+    )
+    got = np.asarray(int8_conv(
+        x, w, m, strides, pad, dilation=dilation, out_dtype=jnp.float32,
+        unsigned=True,
+    ))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_int8_conv_unsigned_halves_rounding_noise():
+    """On generic post-ReLU inputs the unsigned grid (254 steps over [0, m])
+    must beat the signed grid (127 steps) — roughly half the activation
+    rounding error."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(
+        np.maximum(rng.randn(2, 16, 16, 32), 0.0).astype(np.float32) * 60.0
+    )
+    # exactly-representable weights (integer * 2^-8, maxabs forced to 127)
+    # and a power-of-two-friendly clip stat (254 -> steps 2 resp. 1, folds
+    # exact) so weight-rounding noise is zero in BOTH schemes and the
+    # measured error is PURELY activation rounding — which the unsigned
+    # grid halves
+    wi = rng.randint(-127, 128, size=(3, 3, 32, 64)).astype(np.float32)
+    wi[0, 0, 0, :] = np.where(wi[0, 0, 0, :] < 0, -127.0, 127.0)
+    w = jnp.asarray(wi * 2.0 ** -8)
+    m = jnp.asarray(np.full(32, 254.0, np.float32))
+    ref = np.asarray(_f32_conv(x, w))
+    errs = {}
+    for unsigned in (False, True):
+        got = np.asarray(int8_conv(
+            x, w, m, (1, 1), ((1, 1), (1, 1)), out_dtype=jnp.float32,
+            unsigned=unsigned,
+        ))
+        errs[unsigned] = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert errs[True] < 0.7 * errs[False], errs
+    assert errs[True] < 0.01, errs
+
+
+def test_int8_conv_unsigned_clamps_negatives():
+    """x < 0 (outside the scheme's domain) must clamp to the zero code, not
+    wrap or saturate weirdly — equivalent to an extra ReLU."""
+    x = jnp.asarray(
+        np.array([[-5.0, 0.0, 1.0, 254.0]], np.float32).reshape(1, 1, 4, 1)
+    )
+    w = jnp.ones((1, 1, 1, 1), jnp.float32)
+    m = jnp.asarray([254.0], jnp.float32)
+    got = np.asarray(int8_conv(
+        x, w, m, (1, 1), ((0, 0), (0, 0)), out_dtype=jnp.float32,
+        unsigned=True,
+    )).reshape(-1)
+    np.testing.assert_allclose(got, [0.0, 0.0, 1.0, 254.0], atol=0.51)
 
 
 def test_calibration_is_max_merged(bisenet_quant):

@@ -80,6 +80,7 @@ def test_meta_contents(artifact_dir):
         meta = json.load(f)
     assert meta["model"] == "bisenet"
     assert meta["precision"] == "f32"
+    assert meta["quant_clip"] is None  # only recorded for int8 exports
     assert (meta["height"], meta["width"]) == (H, W)
     assert "tpu" in meta["platforms"] and "cpu" in meta["platforms"]
 
@@ -128,6 +129,9 @@ def test_int8_artifact_roundtrip(small_model, tmp_path):
     out = np.asarray(fn(rng.randint(0, 256, (1, H, W, 3), np.uint8)))
     assert out.shape == (1, H, W) and out.dtype == np.uint8
     assert meta2["precision"] == "int8"
+    # artifacts are pinnable: the activation clip quantile is recorded
+    # (r2 advisor: exports silently picked up quant_clip default changes)
+    assert meta2["quant_clip"] == mcfg.quant_clip
 
 
 def test_load_artifact_missing_path(tmp_path):
