@@ -1,13 +1,17 @@
-"""One-optimizer-step training-dynamics parity vs a torch oracle.
+"""N-optimizer-step training-dynamics parity vs a torch oracle.
 
 Round-1 left a gap: weight conversion proved *forward* parity only
 (test_convert.py), nothing showed the training dynamics match. These tests
-close it: identical (converted) weights, identical f32 batch, one
-reference-semantics torch optimizer step vs ``make_train_step``, comparing
-losses and per-parameter deltas for all four modes — vanilla / lovasz
-(reference ``train.py:28``, ``train_lovasz.py:29``) and adversarial /
-adversarial+lovasz incl. the D-first, G-through-updated-D ordering
-(``train.py:163-313``, ``train_lovasz.py:172-349``).
+close it: identical (converted) weights, identical f32 batches, N
+reference-semantics torch optimizer steps vs ``make_train_step``, comparing
+the full loss trajectory and end-state per-parameter deltas for all four
+modes — vanilla / lovasz (reference ``train.py:28``, ``train_lovasz.py:29``)
+and adversarial / adversarial+lovasz incl. the D-first,
+G-through-updated-D ordering (``train.py:163-313``,
+``train_lovasz.py:172-349``). The default tier runs N=1; the slow tier runs
+N=10 with fresh batches and per-batch poly-LR decay each step, bounding the
+compounded drift (BN running stats x optimizer moments x LR schedule) that
+single-step parity cannot see.
 
 Both sides run in float64 (the package's hard f32 casts are all
 "at least f32" so x64 makes them f64), which makes the comparison decisive:
@@ -234,7 +238,7 @@ def _delta_parity(before, ours_after, ref_after, what, rel_tol=1e-6):
     )
 
 
-def _batch_stats_parity(ours, ref, cfg):
+def _batch_stats_parity(ours, ref, cfg, n_steps=1):
     """Running-stat parity. FoldableBatchNorm tracks torch's unbiased
     running-var update exactly (incl. the ARM gate BNs where N = B), so
     vars are tight. Means tolerate one optimizer-step of conv-bias fold
@@ -248,16 +252,21 @@ def _batch_stats_parity(ours, ref, cfg):
     fr = {jax.tree_util.keystr(p): v for p, v in
           jax.tree_util.tree_leaves_with_path(ref)}
     assert set(fo) == set(fr)
-    mean_atol = 2.5 * cfg.optimizer.learning_rate
+    # the conv-bias fold residue accumulates ~lr per optimizer step; the
+    # rtol loosens with steps for the same chaotic-compounding reason as
+    # _traj_tol (parameters diverge at ~4x/step in f64)
+    mean_atol = 2.5 * cfg.optimizer.learning_rate * n_steps
+    rtol = 1e-6 if n_steps == 1 else 1e-3
     for k in fo:
         atol = mean_atol if k.endswith("['mean']") else 1e-9
         np.testing.assert_allclose(
             np.asarray(fo[k], np.float64), np.asarray(fr[k], np.float64),
-            rtol=1e-6, atol=atol, err_msg=k,
+            rtol=rtol, atol=atol, err_msg=k,
         )
 
 
-def _run_ours(cfg, g_vars, d_vars, batch):
+def _run_ours(cfg, g_vars, d_vars, batches):
+    """Run len(batches) jitted optimizer steps; returns (state, metric list)."""
     model = build_model(cfg.model)
     g = ModelState.create(
         model.apply,
@@ -284,8 +293,29 @@ def _run_ours(cfg, g_vars, d_vars, batch):
             poly_lr_schedule(cfg.adversarial.disc_learning_rate, MAX_ITER),
         )
     )
-    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
-    return new_state, {k: float(v) for k, v in metrics.items()}
+    all_metrics = []
+    for batch in batches:
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        all_metrics.append({k: float(v) for k, v in metrics.items()})
+    return state, all_metrics
+
+
+def _traj_tol(t: int) -> float:
+    """Per-step relative loss tolerance: equivalent f64 programs drift apart
+    chaotically at ~4x/step through these networks (measured: rel diff
+    5e-16 at t=0 growing to 3.4e-6 at t=9 for the adversarial mode — pure
+    reassociation noise amplified by Adam's early sign-like updates). A
+    *semantic* divergence (wrong wd order, LR schedule, loss weighting)
+    shows at >=1e-4 within a step or two and still fails everywhere."""
+    return min(1e-9 * 4.0 ** t, 1e-3)
+
+
+def _poly_lr_torch(opt, base_lr, t):
+    """Reference utils.py:27-58: lr = base*(1 - t/max_iter)^0.9 written into
+    the param groups every batch (same shared step drives G and D)."""
+    lr = base_lr * (1.0 - t / MAX_ITER) ** 0.9
+    for grp in opt.param_groups:
+        grp["lr"] = lr
 
 
 def _torch_generator_optimizer(net, cfg):
@@ -306,8 +336,19 @@ def _torch_generator_optimizer(net, cfg):
     )
 
 
-@pytest.mark.parametrize("mode", ["vanilla", "lovasz"])
-def test_source_step_parity(mode, tmp_path):
+@pytest.mark.parametrize(
+    "mode,n_steps",
+    [
+        ("vanilla", 1),
+        ("lovasz", 1),
+        # the multi-step tier bounds the COMPOUNDED dynamics the 0.5-pt mIoU
+        # target cares about: BN running-stat evolution x Adam/SGD moment
+        # buildup x per-batch poly-LR decay over fresh batches each step
+        pytest.param("vanilla", 10, marks=pytest.mark.slow),
+        pytest.param("lovasz", 10, marks=pytest.mark.slow),
+    ],
+)
+def test_source_step_parity(mode, n_steps, tmp_path):
     cfg = _cfg(mode)
     torch.manual_seed(7)
     net = _randomized_bn(TorchBiSeNet().train(), 7)
@@ -317,27 +358,36 @@ def test_source_step_parity(mode, tmp_path):
     g_vars = _f64(_to_variables(net, "bisenet", tmp_path, template, "g0"))
     net = net.double()
 
-    images, labels, _ = _batch(0)
-
     # --- torch oracle: reference train.py:87-156 / train_lovasz.py:98-105,
-    # CPU path (no autocast/scaler), poly-LR at step 0 == base lr. ---
+    # CPU path (no autocast/scaler), per-batch poly-LR (utils.py:27-58). ---
     opt = _torch_generator_optimizer(net, cfg)
-    logits = net(_normalize_torch(images).double())
-    y = torch.from_numpy(labels.astype(np.int64))
-    loss_t = F.cross_entropy(logits, y, ignore_index=255)
-    if mode == "lovasz":
-        loss_t = loss_t + cfg.loss.lovasz_weight * _lovasz_softmax_torch(
-            F.softmax(logits, dim=1), y
-        )
-    opt.zero_grad()
-    loss_t.backward()
-    opt.step()
+    ref_losses = []
+    for t in range(n_steps):
+        images, labels, _ = _batch(t)
+        _poly_lr_torch(opt, cfg.optimizer.learning_rate, t)
+        logits = net(_normalize_torch(images).double())
+        y = torch.from_numpy(labels.astype(np.int64))
+        loss_t = F.cross_entropy(logits, y, ignore_index=255)
+        if mode == "lovasz":
+            loss_t = loss_t + cfg.loss.lovasz_weight * _lovasz_softmax_torch(
+                F.softmax(logits, dim=1), y
+            )
+        opt.zero_grad()
+        loss_t.backward()
+        opt.step()
+        ref_losses.append(loss_t.item())
 
-    # --- ours: one jitted step on the identical batch ---
-    batch = {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
-    new_state, metrics = _run_ours(cfg, g_vars, None, batch)
+    # --- ours: the same steps through one jitted program ---
+    batches = [
+        {"image": jnp.asarray(i), "label": jnp.asarray(l)}
+        for i, l, _ in (_batch(t) for t in range(n_steps))
+    ]
+    new_state, metrics = _run_ours(cfg, g_vars, None, batches)
 
-    assert metrics["loss"] == pytest.approx(float(loss_t), rel=1e-9)
+    for t in range(n_steps):
+        assert metrics[t]["loss"] == pytest.approx(
+            ref_losses[t], rel=_traj_tol(t)
+        ), f"loss trajectory diverged at step {t}"
 
     ref_after = _f64(_to_variables(net, "bisenet", tmp_path, template, "g1"))
     _delta_parity(
@@ -347,15 +397,24 @@ def test_source_step_parity(mode, tmp_path):
         "G:",
         # Adam's step-1 update is ~sign(g), amplifying relative error on
         # near-zero-gradient elements; SGD deltas are plain lr*(g + wd*p).
-        rel_tol=1e-6,
+        rel_tol=1e-6 if n_steps == 1 else 1e-3,
     )
     _batch_stats_parity(
-        new_state.generator.batch_stats, ref_after["batch_stats"], cfg
+        new_state.generator.batch_stats, ref_after["batch_stats"], cfg,
+        n_steps=n_steps,
     )
 
 
-@pytest.mark.parametrize("mode", ["adversarial", "adversarial_lovasz"])
-def test_adversarial_step_parity(mode, tmp_path):
+@pytest.mark.parametrize(
+    "mode,n_steps",
+    [
+        ("adversarial", 1),
+        ("adversarial_lovasz", 1),
+        pytest.param("adversarial", 10, marks=pytest.mark.slow),
+        pytest.param("adversarial_lovasz", 10, marks=pytest.mark.slow),
+    ],
+)
+def test_adversarial_step_parity(mode, n_steps, tmp_path):
     cfg = _cfg(mode)
     torch.manual_seed(11)
     net = _randomized_bn(TorchBiSeNet().train(), 11)
@@ -375,9 +434,9 @@ def test_adversarial_step_parity(mode, tmp_path):
     net = net.double()
     disc_t = disc_t.double()
 
-    images, labels, target = _batch(1)
-
-    # --- torch oracle: reference train.py:163-313 exactly ---
+    # --- torch oracle: reference train.py:163-313 exactly, per step:
+    # shared-global-step poly LR on BOTH optims (train.py:229-236), D step
+    # on detached softmax maps first, G step through the updated D. ---
     opt_g = _torch_generator_optimizer(net, cfg)
     opt_d = torch.optim.Adam(
         disc_t.parameters(),
@@ -385,47 +444,62 @@ def test_adversarial_step_parity(mode, tmp_path):
         betas=(cfg.adversarial.disc_adam_b1, cfg.adversarial.disc_adam_b2),
         weight_decay=cfg.adversarial.disc_weight_decay,
     )
-    pred_s = net(_normalize_torch(images).double())
-    pred_t = net(_normalize_torch(target).double())
-    y = torch.from_numpy(labels.astype(np.int64))
+    ref_losses = []
+    for t in range(n_steps):
+        images, labels, target = _batch(t + 1)
+        _poly_lr_torch(opt_g, cfg.optimizer.learning_rate, t)
+        _poly_lr_torch(opt_d, cfg.adversarial.disc_learning_rate, t)
+        pred_s = net(_normalize_torch(images).double())
+        pred_t = net(_normalize_torch(target).double())
+        y = torch.from_numpy(labels.astype(np.int64))
 
-    # D step first, on detached softmax maps (train.py:249-278)
-    opt_d.zero_grad()
-    d_real = disc_t(F.softmax(pred_s, dim=1).detach())
-    d_fake = disc_t(F.softmax(pred_t, dim=1).detach())
-    loss_d = 0.5 * (
-        F.binary_cross_entropy_with_logits(d_real, torch.ones_like(d_real))
-        + F.binary_cross_entropy_with_logits(d_fake, torch.zeros_like(d_fake))
-    )
-    loss_d.backward()
-    opt_d.step()
-
-    # G step through the *updated* D (train.py:280-306)
-    opt_g.zero_grad()
-    loss_seg = F.cross_entropy(pred_s, y, ignore_index=255)
-    if mode == "adversarial_lovasz":
-        loss_seg = loss_seg + cfg.loss.lovasz_weight * _lovasz_softmax_torch(
-            F.softmax(pred_s, dim=1), y
+        # D step first, on detached softmax maps (train.py:249-278)
+        opt_d.zero_grad()
+        d_real = disc_t(F.softmax(pred_s, dim=1).detach())
+        d_fake = disc_t(F.softmax(pred_t, dim=1).detach())
+        loss_d = 0.5 * (
+            F.binary_cross_entropy_with_logits(d_real, torch.ones_like(d_real))
+            + F.binary_cross_entropy_with_logits(
+                d_fake, torch.zeros_like(d_fake)
+            )
         )
-    d_out = disc_t(F.softmax(pred_t, dim=1))
-    loss_adv = F.binary_cross_entropy_with_logits(
-        d_out, torch.ones_like(d_out)
-    )
-    loss_g = loss_seg + cfg.adversarial.lambda_adv * loss_adv
-    loss_g.backward()
-    opt_g.step()
+        loss_d.backward()
+        opt_d.step()
+
+        # G step through the *updated* D (train.py:280-306)
+        opt_g.zero_grad()
+        loss_seg = F.cross_entropy(pred_s, y, ignore_index=255)
+        if mode == "adversarial_lovasz":
+            loss_seg = loss_seg + (
+                cfg.loss.lovasz_weight
+                * _lovasz_softmax_torch(F.softmax(pred_s, dim=1), y)
+            )
+        d_out = disc_t(F.softmax(pred_t, dim=1))
+        loss_adv = F.binary_cross_entropy_with_logits(
+            d_out, torch.ones_like(d_out)
+        )
+        loss_g = loss_seg + cfg.adversarial.lambda_adv * loss_adv
+        loss_g.backward()
+        opt_g.step()
+        ref_losses.append((loss_d.item(), loss_g.item(), loss_adv.item()))
 
     # --- ours ---
-    batch = {
-        "image": jnp.asarray(images),
-        "label": jnp.asarray(labels),
-        "target_image": jnp.asarray(target),
-    }
-    new_state, metrics = _run_ours(cfg, g_vars, d_vars, batch)
+    batches = [
+        {
+            "image": jnp.asarray(i),
+            "label": jnp.asarray(l),
+            "target_image": jnp.asarray(tg),
+        }
+        for i, l, tg in (_batch(t + 1) for t in range(n_steps))
+    ]
+    new_state, metrics = _run_ours(cfg, g_vars, d_vars, batches)
 
-    assert metrics["loss_d"] == pytest.approx(float(loss_d), rel=1e-9)
-    assert metrics["loss"] == pytest.approx(float(loss_g), rel=1e-9)
-    assert metrics["loss_adv_g"] == pytest.approx(float(loss_adv), rel=1e-9)
+    for t in range(n_steps):
+        loss_d_t, loss_g_t, loss_adv_t = ref_losses[t]
+        tol = _traj_tol(t)
+        assert metrics[t]["loss_d"] == pytest.approx(loss_d_t, rel=tol), t
+        assert metrics[t]["loss"] == pytest.approx(loss_g_t, rel=tol), t
+        assert metrics[t]["loss_adv_g"] == pytest.approx(loss_adv_t, rel=tol), t
 
     ref_g = _f64(_to_variables(net, "bisenet", tmp_path, g_template, "g1"))
     ref_d = _f64(
@@ -436,12 +510,12 @@ def test_adversarial_step_parity(mode, tmp_path):
         new_state.generator.params,
         ref_g["params"],
         "G:",
-        rel_tol=1e-6,
+        rel_tol=1e-6 if n_steps == 1 else 1e-3,
     )
     _delta_parity(
         d_vars["params"],
         new_state.discriminator.params,
         ref_d["params"],
         "D:",
-        rel_tol=1e-6,
+        rel_tol=1e-6 if n_steps == 1 else 1e-3,
     )
