@@ -45,9 +45,36 @@ def _mfu(flops_per_iter, sec_per_iter, peak=V5E_PEAK_BF16):
     return flops_per_iter / sec_per_iter / peak
 
 
+# 19-class palette for the learnable synthetic batches (any injective
+# class->color map works; noise keeps it non-trivial)
+_PALETTE = np.stack(
+    np.meshgrid([32, 112, 192], [32, 112, 192], [16, 128, 240], indexing="ij"),
+    axis=-1,
+).reshape(-1, 3)[:19].astype(np.int16)
+
+
+def _learnable_batch(rng, batch, h, w, cells=32):
+    """(uint8 images, int32 labels): piecewise-constant 19-class cell maps,
+    images = class color + noise. LEARNABLE, unlike random labels: ~20
+    optimizer steps give the net real decision structure, so the downstream
+    int8 fidelity probe measures serving reality. (Weights trained on
+    random labels are driven toward maximum-entropy logits — near-uniform
+    outputs where ANY quantization noise flips the argmax; that regime
+    over-penalizes int8 by construction.)"""
+    gh, gw = h // cells, w // cells
+    grid = rng.randint(0, 19, size=(batch, gh, gw))
+    labels = np.repeat(np.repeat(grid, cells, 1), cells, 2)[:, :h, :w]
+    imgs = _PALETTE[labels] + rng.randint(-12, 13, size=(batch, h, w, 3))
+    return (
+        np.clip(imgs, 0, 255).astype(np.uint8),
+        labels.astype(np.int32),
+    )
+
+
 def _build():
     from rtda_semanticsegmentation_tpu.config import ExperimentConfig
     from rtda_semanticsegmentation_tpu.models.factory import build_model, init_model
+    from rtda_semanticsegmentation_tpu.ops.augment import normalize_u8
 
     cfg = ExperimentConfig()
     model = build_model(cfg.model)  # bisenet-resnet18, bf16 compute
@@ -55,9 +82,13 @@ def _build():
         model, jax.random.PRNGKey(0), (1, H, W, 3), train=False
     )
 
+    # Serve-equivalent program (serving.py:72-75): uint8 in -> ImageNet
+    # normalize -> model. The timing loop adds the argmax, so the measured
+    # program is exactly what cli/predict + the exported artifact run.
     @jax.jit
     def forward(variables, images):
-        return model.apply(variables, images, False)
+        x = normalize_u8(images, cfg.augment).astype(jnp.bfloat16)
+        return model.apply(variables, x, False)
 
     return variables, forward
 
@@ -78,9 +109,10 @@ def _time_batch(forward, variables, batch: int) -> tuple[float, float]:
     # forward can't be hoisted out of the loop (a scalar-scale trick distorts
     # results instead — measured 4x slowdowns from whatever XLA does with it),
     # and reading 12 MB/iter from HBM is ~15 us of the ~10 ms iteration.
+    # uint8, as serving receives it — the forward normalizes inside.
     ring = jnp.asarray(
         np.random.RandomState(0).randint(0, 256, (4, batch, H, W, 3), np.uint8)
-    ).astype(jnp.bfloat16)
+    )
 
     @jax.jit
     def loop(variables, ring, n):
@@ -108,15 +140,24 @@ def _time_batch(forward, variables, batch: int) -> tuple[float, float]:
     return device_per_iter, rtt_per_iter
 
 
-def _train_throughput(mode: str = "vanilla", batch: int = 8):
+def _train_throughput(
+    mode: str = "vanilla",
+    batch: int = 8,
+    src_size=(H, W),
+    tgt_size=(H, W),
+):
     """(img/s, sec/iter, step FLOPs, final generator variables) of the
     compiled train step for ``mode`` in {'vanilla', 'flagship'}.
 
     'vanilla' = CE only with the full aug pipeline (reference train.py:28);
     'flagship' = adversarial + Lovasz, the framework's richest mode
-    (reference train_lovasz.py:172). The returned variables have seen the
-    timing steps' training (~25 steps on synthetic data) — used downstream
-    as non-random weights for the int8 fidelity probe.
+    (reference train_lovasz.py:172). ``src_size``/``tgt_size`` allow the
+    reference's mixed-resolution parity configuration (GTA5 source
+    1280x720 + Cityscapes target 1024x512, reference ``config.py:16-21``).
+    img/s counts SOURCE images, as the reference's per-epoch accounting
+    does. The returned variables have seen the timing steps' training
+    (~23 steps on a LEARNABLE synthetic batch, ``_learnable_batch``) —
+    used downstream as realistic weights for the int8 fidelity probe.
     """
     import dataclasses
 
@@ -139,16 +180,18 @@ def _train_throughput(mode: str = "vanilla", batch: int = 8):
     cfg = get_preset(
         "bisenet_adversarial_lovasz" if adversarial else "bisenet_source_aug"
     )
+    sh, sw = src_size
+    th, tw = tgt_size
     cfg = cfg.replace(
         data=dataclasses.replace(
-            cfg.data, gta5_size=(H, W), cityscapes_size=(H, W)
+            cfg.data, gta5_size=(sh, sw), cityscapes_size=(th, tw)
         ),
         train=dataclasses.replace(cfg.train, batch_size=batch),
     )
     model = build_model(cfg.model)
     g = ModelState.create(
         model.apply,
-        init_model(model, jax.random.PRNGKey(0), (1, H, W, 3)),
+        init_model(model, jax.random.PRNGKey(0), (1, sh, sw, 3)),
         build_generator_tx(
             cfg.optimizer, 1000,
             decay_exempt=("supervision1", "supervision2"),
@@ -160,7 +203,7 @@ def _train_throughput(mode: str = "vanilla", batch: int = 8):
         d = ModelState.create(
             disc.apply,
             init_model(
-                disc, jax.random.PRNGKey(1), (1, H, W, cfg.model.num_classes)
+                disc, jax.random.PRNGKey(1), (1, sh, sw, cfg.model.num_classes)
             ),
             build_discriminator_tx(cfg.adversarial, 1000),
         )
@@ -172,14 +215,11 @@ def _train_throughput(mode: str = "vanilla", batch: int = 8):
     )
     step = jax.jit(step_fn, donate_argnums=0)
     rng = np.random.RandomState(0)
-    b = {
-        "image": jnp.asarray(rng.randint(0, 256, (batch, H, W, 3), np.uint8)),
-        "label": jnp.asarray(rng.randint(0, 19, (batch, H, W), np.int32)),
-    }
+    imgs, labels = _learnable_batch(rng, batch, sh, sw)
+    b = {"image": jnp.asarray(imgs), "label": jnp.asarray(labels)}
     if adversarial:
-        b["target_image"] = jnp.asarray(
-            rng.randint(0, 256, (batch, H, W, 3), np.uint8)
-        )
+        t_imgs, _ = _learnable_batch(rng, batch, th, tw)
+        b["target_image"] = jnp.asarray(t_imgs)
     flops = xla_flops(step_fn, state, b, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(0)
     for _ in range(3):
@@ -200,7 +240,11 @@ def _deeplab_throughput():
     from rtda_semanticsegmentation_tpu.models.factory import build_model, init_model
     from rtda_semanticsegmentation_tpu.obs.profiler import xla_flops
 
+    from rtda_semanticsegmentation_tpu.config import AugmentConfig
+    from rtda_semanticsegmentation_tpu.ops.augment import normalize_u8
+
     cfg = ModelConfig(name="deeplabv2", context_path="resnet101")
+    aug_cfg = AugmentConfig()
     model = build_model(cfg)
     variables = init_model(
         model, jax.random.PRNGKey(0), (1, H, W, 3), train=False
@@ -208,7 +252,8 @@ def _deeplab_throughput():
 
     @jax.jit
     def forward(variables, images):
-        return model.apply(variables, images, False)
+        x = normalize_u8(images, aug_cfg).astype(jnp.bfloat16)
+        return model.apply(variables, x, False)
 
     best_ips, best_b, best_sec = 0.0, 0, 0.0
     for b in (8, 16, 32):
@@ -216,8 +261,8 @@ def _deeplab_throughput():
         ips = b / sec
         if ips > best_ips:
             best_ips, best_b, best_sec = ips, b, sec
-    x = jnp.zeros((best_b, H, W, 3), jnp.bfloat16)
-    flops = xla_flops(lambda v, im: model.apply(v, im, False), variables, x)
+    x = jnp.zeros((best_b, H, W, 3), jnp.uint8)
+    flops = xla_flops(forward, variables, x)
     return best_ips, best_b, _mfu(flops, best_sec)
 
 
@@ -230,25 +275,33 @@ def _build_int8(variables):
     from rtda_semanticsegmentation_tpu.config import ExperimentConfig
     from rtda_semanticsegmentation_tpu.models.quantize import calibrate, quantized_model
 
+    from rtda_semanticsegmentation_tpu.ops.augment import normalize_u8
+
     cfg = ExperimentConfig()
     rng = np.random.RandomState(7)
 
-    def batch():
-        return (
-            jnp.asarray(rng.randint(0, 256, (4, H, W, 3), np.uint8)) / 255.0
-            - 0.45
-        ) / 0.225
+    def u8():
+        return jnp.asarray(_learnable_batch(rng, 4, H, W)[0])
 
-    variables = calibrate(cfg.model, variables, [batch() for _ in range(3)])
+    variables = calibrate(
+        cfg.model,
+        variables,
+        [
+            normalize_u8(u8(), cfg.augment).astype(jnp.bfloat16)
+            for _ in range(3)
+        ],
+    )
     mq = quantized_model(cfg.model)
 
+    # serve-equivalent program, like the bf16 one: uint8 in, normalize inside
     @jax.jit
     def forward(variables, images):
-        return mq.apply(variables, images, False)
+        x = normalize_u8(images, cfg.augment).astype(jnp.bfloat16)
+        return mq.apply(variables, x, False)
 
     # the agreement probe is held out: drawn AFTER the calibration batches,
     # so calibrated activation clipping is actually exercised
-    return variables, forward, batch().astype(jnp.bfloat16), cfg.model.quant_clip
+    return variables, forward, u8(), cfg.model.quant_clip
 
 
 def _devices_with_retry(attempts: int = 5, wait_s: float = 60.0):
@@ -302,7 +355,7 @@ def main() -> None:
         return forward(v, im)
 
     infer_flops = xla_flops(
-        _fwd, variables, jnp.zeros((best_b, H, W, 3), jnp.bfloat16)
+        _fwd, variables, jnp.zeros((best_b, H, W, 3), jnp.uint8)
     )
     mfu = _mfu(infer_flops, best_sec)
     print(
@@ -313,32 +366,69 @@ def main() -> None:
     )
 
     # Training throughput rows (run BEFORE int8 so the fidelity probe gets
-    # trained weights, not PRNG inits): vanilla + flagship, each with MFU.
+    # trained weights, not PRNG inits): vanilla + flagship swept over batch
+    # (inference gained 2.1x from batch scaling; the train headline is the
+    # best-batch number), each with MFU.
     trained_vars = None
-    for mode, label in (("vanilla", "train vanilla+aug"),
-                        ("flagship", "train adversarial+lovasz")):
-        try:
-            t_ips, t_sec, t_flops, g_vars = _train_throughput(mode)
+    for mode, label, t_batches in (
+        ("vanilla", "train vanilla+aug", (8, 16, 32)),
+        ("flagship", "train adversarial+lovasz", (8, 16)),
+    ):
+        best_row = None
+        for tb in t_batches:
+            try:
+                t_ips, t_sec, t_flops, g_vars = _train_throughput(mode, tb)
+            except Exception as e:
+                print(f"{label} (b{tb}) skipped: {e}", file=sys.stderr)
+                continue
             t_mfu = _mfu(t_flops, t_sec)
             mfu_s = f", MFU {t_mfu:.1%}" if t_mfu else ""
             print(
-                f"{label} (b8): {t_ips:.1f} img/s "
+                f"{label} (b{tb}): {t_ips:.1f} img/s "
                 f"({t_sec * 1e3:.1f} ms/step{mfu_s})",
                 file=sys.stderr,
             )
-            if mode == "vanilla":
+            if best_row is None or t_ips > best_row[1]:
+                best_row = (tb, t_ips)
+            if mode == "vanilla" and tb == 8:
                 trained_vars = g_vars
-        except Exception as e:
-            print(f"{label} skipped: {e}", file=sys.stderr)
+        if best_row is not None:
+            print(
+                f"{label} best: batch={best_row[0]} ({best_row[1]:.1f} img/s)",
+                file=sys.stderr,
+            )
+
+    # The reference's parity configuration trains MIXED shapes: GTA5 source
+    # at 1280x720 + Cityscapes target at 1024x512 (reference config.py:16-21,
+    # 227-233). One flagship row at those shapes proves the mixed-resolution
+    # step compiles and runs at speed (per-input D/block-mean shapes).
+    try:
+        t_ips, t_sec, t_flops, _ = _train_throughput(
+            "flagship", 8, src_size=(720, 1280), tgt_size=(512, 1024)
+        )
+        t_mfu = _mfu(t_flops, t_sec)
+        mfu_s = f", MFU {t_mfu:.1%}" if t_mfu else ""
+        print(
+            f"train flagship @ reference shapes (src 1280x720 + tgt "
+            f"1024x512, b8): {t_ips:.1f} src img/s "
+            f"({t_sec * 1e3:.1f} ms/step{mfu_s})",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"reference-shape flagship row skipped: {e}", file=sys.stderr)
 
     # int8 PTQ serving path: qualifies as headline only above 0.99 on-device
     # argmax agreement with the bf16 path — probed on the briefly-trained
-    # weights from the vanilla timing run (25 synthetic steps), so calibrated
-    # activation ranges reflect a real (if young) network, not PRNGKey(0).
+    # weights from the vanilla timing run (23 steps on a learnable
+    # synthetic batch), so both the calibrated activation ranges and the
+    # logit structure reflect a trained (if young) network, not PRNGKey(0)
+    # and not a random-label-trained one (whose near-uniform logits flip
+    # argmax under any noise). The real-data gate is --final_int8_eval
+    # (val-set mIoU through the int8 path, train/loop.py).
     try:
         fid_vars = trained_vars if trained_vars is not None else variables
         provenance = (
-            "trained weights (25 synthetic steps)"
+            "trained weights (23 learnable-synthetic steps)"
             if trained_vars is not None else "random init (fallback)"
         )
         q_vars, q_forward, probe, q_clip = _build_int8(fid_vars)
