@@ -31,6 +31,13 @@ def main():
 
     sys.path.insert(0, args.repo)
 
+    # single-device CPU regardless of caller env: under pytest the inherited
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8 would give this
+    # subprocess an 8-way data mesh and reject the tiny A/B batch size
+    import os
+
+    os.environ.pop("XLA_FLAGS", None)
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
