@@ -59,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calib_batch_size", type=int, default=8)
     p.add_argument("--quant_clip", type=float, default=None,
                    help="int8 activation clip quantile; 1.0 = exact "
-                        "max|x|; default: ModelConfig.quant_clip = 0.999. "
+                        "max|x|; default: ModelConfig.quant_clip = 1.0. "
                         "Recorded in the artifact metadata so exports are "
                         "pinnable.")
     p.add_argument("--platforms", default="tpu,cpu",

@@ -100,8 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calib_batches", type=int, default=2)
     p.add_argument("--quant_clip", type=float, default=None,
                    help="int8 activation-scale clip quantile (1.0 = exact "
-                        "max|x|; default: ModelConfig.quant_clip = 0.999, "
-                        "outlier-robust on trained weights).")
+                        "max|x|; default: ModelConfig.quant_clip = 1.0 — exact "
+                        "per-channel max measures best on trained weights).")
     p.add_argument("--overlay", action="store_true",
                    help="Also write a 60/40 image/mask blend per input.")
     p.add_argument("--no_resize_back", action="store_true",

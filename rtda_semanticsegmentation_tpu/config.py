@@ -137,11 +137,14 @@ class ModelConfig:
     # (models/quantize.py). v5e's MXU runs s8 at 2x the bf16 rate.
     quant: str = "none"
     quant_min_ch: int = 64
-    # Activation-scale clip quantile for calibration: 1.0 = exact max|x|;
-    # q < 1.0 clips to the q-quantile of |x| (outlier-robust — trained ReLU
-    # nets grow heavy activation tails that waste the int8 range; see
-    # ops/quant.py::calib_clip and PERFORMANCE.md int8 section).
-    quant_clip: float = 0.999
+    # Activation-scale clip quantile for calibration: 1.0 = exact per-channel
+    # max|x| (the default); q < 1.0 clips to the q-quantile of |x|. With
+    # per-INPUT-CHANNEL scales the exact max measures BEST on trained
+    # weights (agreement 0.9720 @ 1.0 vs 0.9545 @ 0.999,
+    # scripts/probe_int8_layers.py): the heavy tails quantile clipping
+    # guarded against were cross-channel spread, which per-channel scales
+    # already absorb. See ops/quant.py and PERFORMANCE.md int8 section.
+    quant_clip: float = 1.0
     # Module-path substrings excluded from int8 (kept on the bf16 path even
     # in 'calib'/'int8' mode): matched against the bound flax path of each
     # ConvBN, e.g. ("ffm", "layer4"). Lever for trading throughput back for

@@ -48,7 +48,7 @@ class SpatialPath(nn.Module):
     phase: int = 0  # multi-phase conv for the MXU-starved RGB conv (0 = off)
     quant: str = "none"
     quant_min_ch: int = 64
-    quant_clip: float = 0.999
+    quant_clip: float = 1.0
     quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
@@ -98,7 +98,7 @@ class FeatureFusionModule(nn.Module):
     dtype: Dtype = jnp.bfloat16
     quant: str = "none"
     quant_min_ch: int = 64
-    quant_clip: float = 0.999
+    quant_clip: float = 1.0
     quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
@@ -148,7 +148,7 @@ class BiSeNet(nn.Module):
     # (models/quantize.py). Inference-only: train always uses 'none'.
     quant: str = "none"
     quant_min_ch: int = 64
-    quant_clip: float = 0.999
+    quant_clip: float = 1.0
     quant_skip: Tuple[str, ...] = ()
 
     @nn.compact

@@ -52,7 +52,7 @@ class DeepLabV2(nn.Module):
     fast_input: bool = False  # phase-conv RGB stem (exact; see layers.conv_phase)
     quant: str = "none"  # int8 PTQ serving path (see models/quantize.py)
     quant_min_ch: int = 64
-    quant_clip: float = 0.999
+    quant_clip: float = 1.0
     quant_skip: Tuple[str, ...] = ()
 
     @nn.compact

@@ -250,11 +250,13 @@ class QuantConv(nn.Module):
     mode: str = "calib"  # calib | int8
     dtype: Dtype = jnp.bfloat16
     kernel_init: Callable = kaiming_normal_fan_in
-    # Activation-scale clip quantile: 1.0 = exact max|x|; q < 1.0 clips to
-    # the q-quantile of |x| (outlier-robust on trained weights — see
-    # ops/quant.py::calib_clip). Applied at calibration time; the recorded
-    # ``in_absmax`` stat is the chosen clip value.
-    clip: float = 0.999
+    # Activation-scale clip quantile: 1.0 = exact per-channel max|x|; q < 1.0
+    # clips to the q-quantile of |x| (ops/quant.py::calib_clip_channels).
+    # Default is the exact max: with PER-CHANNEL scales, quantile clipping
+    # LOSES fidelity on trained weights (0.9545 @ 0.999 vs 0.9720 @ 1.0,
+    # scripts/probe_int8_layers.py) — the outliers it guarded against were
+    # cross-channel heterogeneity, which per-channel scales already absorb.
+    clip: float = 1.0
 
     @nn.compact
     def __call__(self, x):
@@ -271,12 +273,25 @@ class QuantConv(nn.Module):
         stat = self.variable(
             "quant_stats", "in_absmax", lambda: jnp.zeros((ci,), jnp.float32)
         )
+        # per-channel E[x] for the weight-rounding bias correction
+        # (ops/quant.py module docstring); equal-weight running mean over
+        # calibration batches alongside a batch counter
+        mean_stat = self.variable(
+            "quant_stats", "in_mean", lambda: jnp.zeros((ci,), jnp.float32)
+        )
+        count = self.variable(
+            "quant_stats", "calib_batches", lambda: jnp.zeros((), jnp.float32)
+        )
         d = (self.dilation, self.dilation)
         if self.mode == "calib":
             if not self.is_initializing():
                 stat.value = jnp.maximum(
                     stat.value, calib_clip_channels(x, self.clip)
                 )
+                bmean = jnp.mean(x.astype(jnp.float32), axis=tuple(range(x.ndim - 1)))
+                n = count.value
+                mean_stat.value = (mean_stat.value * n + bmean) / (n + 1.0)
+                count.value = n + 1.0
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
@@ -299,6 +314,7 @@ class QuantConv(nn.Module):
             dilation=d,
             out_dtype=self.dtype,
             unsigned=True,
+            in_mean=mean_stat.value,
         )
 
 
@@ -330,7 +346,7 @@ class ConvBN(nn.Module):
     phase_factor: int = 0
     quant: str = "none"  # none | calib | int8
     quant_min_ch: int = 64
-    quant_clip: float = 0.999  # activation clip quantile (QuantConv.clip)
+    quant_clip: float = 1.0  # activation clip quantile (QuantConv.clip)
     # bound-path substrings that keep this conv on the bf16 path even in
     # calib/int8 mode (ModelConfig.quant_skip): logits-adjacent convs are
     # the argmax-fidelity bottleneck (scripts/probe_int8_layers.py)

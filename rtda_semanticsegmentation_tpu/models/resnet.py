@@ -34,7 +34,7 @@ class BasicBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     quant: str = "none"
     quant_min_ch: int = 64
-    quant_clip: float = 0.999
+    quant_clip: float = 1.0
     quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
@@ -79,7 +79,7 @@ class Bottleneck(nn.Module):
     dtype: Dtype = jnp.bfloat16
     quant: str = "none"
     quant_min_ch: int = 64
-    quant_clip: float = 0.999
+    quant_clip: float = 1.0
     quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
@@ -136,7 +136,7 @@ class ResNetFeatures(nn.Module):
     stem_phase: int = 0  # multi-phase factor for the RGB stem conv (0/1 = off)
     quant: str = "none"  # int8 serving path (see layers.QuantConv)
     quant_min_ch: int = 64
-    quant_clip: float = 0.999
+    quant_clip: float = 1.0
     quant_skip: Tuple[str, ...] = ()
 
     @nn.compact
@@ -209,7 +209,7 @@ class ContextPath(nn.Module):
     stem_phase: int = 0
     quant: str = "none"
     quant_min_ch: int = 64
-    quant_clip: float = 0.999
+    quant_clip: float = 1.0
     quant_skip: Tuple[str, ...] = ()
 
     @nn.compact

@@ -18,7 +18,7 @@ Scheme (static symmetric PTQ, per-channel on BOTH operands):
   prologue. Scales come from a calibration pass recording a per-channel
   clip statistic of |x| into a ``quant_stats`` flax collection (see
   ``models/quantize.py``) — exact max, or an outlier-robust quantile when
-  ``ModelConfig.quant_clip < 1.0`` (default 0.999; :func:`calib_clip`).
+  ``ModelConfig.quant_clip < 1.0`` (default 1.0 = exact max; :func:`calib_clip`).
 - **Weights**: per-output-channel symmetric int8 over the channel-folded
   kernel ``w * s[ci]``, scale = maxabs/127 over (kh, kw, ci). Quantized on
   the fly from the f32 params inside the jitted forward — one elementwise
@@ -40,6 +40,18 @@ Scheme (static symmetric PTQ, per-channel on BOTH operands):
   by explicit pre-padding + a VALID conv. One extra effective bit halves
   the rounding noise of every quantized activation (measured: argmax
   agreement on trained weights 0.966 -> see PERFORMANCE.md).
+- **Weight-rounding bias correction** (``in_mean``): rounding the folded
+  kernel to the s8 grid leaves a deterministic residual
+  ``e = w_folded - wq * sw``; convolved with the (non-negative, post-ReLU)
+  input it shifts every output channel's mean by
+  ``sum_{kh,kw,ci} E[x/s][ci] * e[..., ci, co]`` — a bias the following
+  BatchNorm (whose shift is frozen at its f32 value) cannot absorb. With a
+  calibrated per-channel input mean the shift is computed in closed form
+  and subtracted (Nagel et al. 2019, data-free quantization, eq. 13 —
+  public technique). Interior pixels see the full receptive field, edge
+  pixels a cropped one; like the original method the correction uses the
+  full-field expectation (the edge ring is a vanishing fraction at these
+  resolutions).
 """
 
 from __future__ import annotations
@@ -141,6 +153,7 @@ def int8_conv(
     dilation: Tuple[int, int] = (1, 1),
     out_dtype=jnp.bfloat16,
     unsigned: bool = False,
+    in_mean: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """NHWC conv computed on the int8 MXU path, dequantized to ``out_dtype``.
 
@@ -157,12 +170,28 @@ def int8_conv(
     (zero-point at -127) for one extra effective bit, with the shift
     corrected exactly via ``127 * sum(wq)`` per output channel and
     zero-code (-127) explicit padding. Requires explicit padding tuples.
+
+    ``in_mean`` (optional, (ci,) or scalar f32): calibrated per-channel
+    E[x]; enables the closed-form weight-rounding bias correction (module
+    docstring) — adds the expected shortfall
+    ``sum(E[x/s] * (w_folded - wq*sw))`` per output channel after
+    dequantization.
     """
     sx = act_scale(in_absmax, unsigned=unsigned)
     folded = kernel.astype(jnp.float32) * (
         sx if sx.ndim == 0 else sx[None, None, :, None]
     )
     wq, sw = quantize_weight(folded)
+
+    bias_corr = None
+    if in_mean is not None:
+        r_mean = jnp.broadcast_to(
+            in_mean.astype(jnp.float32) / sx, (kernel.shape[2],)
+        )
+        w_err = folded - wq.astype(jnp.float32) * sw
+        # (kh, kw, ci, co) x (ci,) -> (co,): expected per-output-channel
+        # shift from weight rounding, in output units
+        bias_corr = jnp.einsum("hwio,i->o", w_err, r_mean)
     if not unsigned:
         xq = quantize_act(x, sx)
         y = jax.lax.conv_general_dilated(
@@ -174,7 +203,10 @@ def int8_conv(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
-        return (y.astype(jnp.float32) * sw).astype(out_dtype)
+        out = y.astype(jnp.float32) * sw
+        if bias_corr is not None:
+            out = out + bias_corr
+        return out.astype(out_dtype)
 
     if isinstance(padding, str):
         raise ValueError(
@@ -201,4 +233,7 @@ def int8_conv(
     # exact integer zero-point correction: conv(q + 127, wq) ==
     # conv_s8(q, wq) + 127 * sum_{kh,kw,ci}(wq) per output channel
     corr = 127 * jnp.sum(wq.astype(jnp.int32), axis=(0, 1, 2))
-    return ((y + corr).astype(jnp.float32) * sw).astype(out_dtype)
+    out = (y + corr).astype(jnp.float32) * sw
+    if bias_corr is not None:
+        out = out + bias_corr
+    return out.astype(out_dtype)

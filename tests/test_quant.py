@@ -80,10 +80,9 @@ def bisenet_quant():
 
 
 def test_bisenet_int8_matches_f32(bisenet_quant):
-    # clip=1.0 pins the exact max-abs scheme for the tight L2 check; the
-    # default quantile clip (0.999) trades L2 on Gaussian random-init
-    # activations for argmax fidelity on trained ones (heavy-tailed), and
-    # is covered by test_bisenet_int8_default_clip_agreement below.
+    # clip=1.0 (the default: exact per-channel max) pins the scheme for the
+    # tight L2 check; the opt-in quantile clip is covered by
+    # test_bisenet_int8_quantile_clip_agreement below.
     cfg, model, variables, x = bisenet_quant
     cfg = dataclasses.replace(cfg, quant_clip=1.0)
     ref = np.asarray(model.apply(variables, x, False), np.float32)
@@ -96,12 +95,13 @@ def test_bisenet_int8_matches_f32(bisenet_quant):
     assert agree > 0.95, agree
 
 
-def test_bisenet_int8_default_clip_agreement(bisenet_quant):
-    """The default (quantile-clipped) calibration still serves: argmax
-    agreement holds even on random-init weights, where clipping is most
-    costly (near-Gaussian activations have no outliers to discard)."""
+def test_bisenet_int8_quantile_clip_agreement(bisenet_quant):
+    """The opt-in quantile clip (quant_clip < 1; the default is the exact
+    per-channel max, see ModelConfig) still serves: argmax agreement holds
+    even on random-init weights, where clipping is most costly
+    (near-Gaussian activations have no outliers to discard)."""
     cfg, model, variables, x = bisenet_quant
-    assert cfg.quant_clip < 1.0  # default is the robust clip
+    cfg = dataclasses.replace(cfg, quant_clip=0.999)
     ref = np.asarray(model.apply(variables, x, False), np.float32)
     cal = calibrate(cfg, variables, [x])
     out = np.asarray(quantized_model(cfg).apply(cal, x, False), np.float32)
@@ -159,11 +159,17 @@ def test_channel_policy_skips_few_channel_convs(bisenet_quant):
     assert any("ffm" in p for p in paths)
     # per-INPUT-CHANNEL stats: 1-D, non-negative, and not all dead (a
     # channel that is exactly zero on the calibration set records 0 and is
-    # served as ~0 via the eps-floored scale — correct for dead channels)
+    # served as ~0 via the eps-floored scale — correct for dead channels).
+    # The collection also carries in_mean (1-D) and the calib_batches
+    # counter (scalar) for the bias correction.
     for p, v in flat.items():
         v = np.asarray(v)
+        if p.endswith("calib_batches"):
+            assert v.ndim == 0, p
+            continue
         assert v.ndim == 1, p
-        assert (v >= 0).all() and v.max() > 0, p
+        if p.endswith("in_absmax"):
+            assert (v >= 0).all() and v.max() > 0, p
 
 
 def test_int8_without_calibration_raises(bisenet_quant):
@@ -370,3 +376,76 @@ def test_calibration_is_max_merged(bisenet_quant):
     b = jax.tree_util.tree_leaves(cal_b["quant_stats"])
     for va, vb in zip(a, b):
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-6)
+
+
+def test_int8_conv_bias_correction_zero_when_weights_on_grid():
+    # kernel already exactly representable after folding -> zero residual ->
+    # in_mean must change nothing
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(np.abs(rng.randn(2, 8, 8, 16)).astype(np.float32))
+    m = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+    s = np.maximum(np.asarray(m), 1e-12) / 254.0
+    # integer multiples of (sw / s_fold): build folded grid then unfold.
+    # Pin max|wq| = 127 per output channel so quantize_weight recovers the
+    # same scale and the roundtrip is exact.
+    wq = rng.randint(-126, 127, size=(3, 3, 16, 8)).astype(np.float32)
+    wq[0, 0, 0, :] = 127.0
+    sw = np.float32(0.01)
+    w = jnp.asarray(wq * sw / s[None, None, :, None])
+    mean = jnp.asarray(np.abs(rng.randn(16)).astype(np.float32))
+    kw = dict(
+        strides=(1, 1), padding=((1, 1), (1, 1)), out_dtype=jnp.float32,
+        unsigned=True,
+    )
+    base = np.asarray(int8_conv(x, w, m, **kw))
+    corrected = np.asarray(int8_conv(x, w, m, in_mean=mean, **kw))
+    np.testing.assert_allclose(corrected, base, atol=1e-4, rtol=1e-5)
+
+
+def test_int8_conv_bias_correction_removes_mean_shift():
+    # Large-ci conv with non-negative input (post-ReLU regime): weight
+    # rounding residuals accumulate into a per-output-channel mean shift;
+    # the closed-form correction must shrink the mean error vs the exact
+    # f32 conv (numpy oracle), and not blow up the per-pixel error.
+    rng = np.random.RandomState(4)
+    ci, co = 64, 32
+    x = jnp.asarray(np.abs(rng.randn(2, 16, 16, ci)).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, ci, co) * 0.05).astype(np.float32))
+    m = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+    mean = jnp.mean(x, axis=(0, 1, 2))
+    kw = dict(
+        strides=(1, 1), padding=((1, 1), (1, 1)), out_dtype=jnp.float32,
+        unsigned=True,
+    )
+    ref = np.asarray(_f32_conv(x, w))
+    base = np.asarray(int8_conv(x, w, m, **kw))
+    corrected = np.asarray(int8_conv(x, w, m, in_mean=mean, **kw))
+    # interior pixels only (the correction assumes the full receptive field)
+    r, b, c = ref[:, 1:-1, 1:-1], base[:, 1:-1, 1:-1], corrected[:, 1:-1, 1:-1]
+    shift_base = np.abs((b - r).mean(axis=(0, 1, 2)))
+    shift_corr = np.abs((c - r).mean(axis=(0, 1, 2)))
+    # mean shift shrinks for the channels where it was material
+    sel = shift_base > np.median(shift_base)
+    assert shift_corr[sel].mean() < 0.5 * shift_base[sel].mean()
+    # and overall per-pixel error does not get worse
+    assert np.abs(c - r).mean() <= np.abs(b - r).mean() * 1.02
+
+
+def test_calibrate_records_running_mean(bisenet_quant):
+    cfg, model, variables, x = bisenet_quant
+    cal = calibrate(cfg, variables, [x * 0.5, x * 1.5])
+    stats = cal["quant_stats"]
+    leaves_mean = [
+        v for p, v in jax.tree_util.tree_flatten_with_path(stats)[0]
+        if any(getattr(k, "key", "") == "in_mean" for k in p)
+    ]
+    leaves_cnt = [
+        v for p, v in jax.tree_util.tree_flatten_with_path(stats)[0]
+        if any(getattr(k, "key", "") == "calib_batches" for k in p)
+    ]
+    assert leaves_mean and leaves_cnt
+    assert all(float(c) == 2.0 for c in leaves_cnt)
+    # means must be finite and non-negative (post-ReLU inputs); at least one
+    # conv sees a strictly positive mean
+    assert all(np.isfinite(np.asarray(v)).all() for v in leaves_mean)
+    assert any(float(jnp.max(v)) > 0 for v in leaves_mean)
