@@ -1,32 +1,63 @@
-"""Benchmark: BiSeNet-ResNet18 inference throughput at 1024x512 on one chip.
+"""Benchmark: BiSeNet-ResNet18 serving + training throughput on one chip.
 
-Prints ONE JSON line:
+Prints JSON headline lines to stdout (the driver reads the LAST one):
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 Headline metric matches BASELINE.json's north star: 1024x512 images/sec/chip
 (target >= 300 on TPU v5e). Methodology mirrors the reference profiler
-(``utils.py:292-382``: 10 warmup + 100 timed iterations with device sync),
-but batched — the reference times batch 1; real-time *throughput* on TPU
-wants the MXU fed, so the headline is best-batch throughput and the batch-1
-p50 latency is reported alongside on stderr.
+(``utils.py:292-382``: warmup + timed iterations with device sync), but
+batched — the reference times batch 1; real-time *throughput* on TPU wants
+the MXU fed, so the headline is best-batch throughput with the batch-1
+latency reported alongside on stderr.
 
 Two serving precisions are swept and the faster one is the headline:
 bf16 (exact eval path) and int8 PTQ (``ops/quant.py`` — v5e's MXU runs s8 at
-2x the bf16 rate; measured 1.27x end-to-end at batch 128 with 0.998 argmax
-agreement). The int8 number only qualifies if its on-device argmax agreement
-with bf16 stays above 0.99 on a held-out batch; both sweeps are printed to
-stderr either way.
+2x the bf16 rate). The int8 number only qualifies if its on-device argmax
+agreement with bf16 stays above 0.99 on trained weights; both sweeps are
+printed to stderr either way.
+
+Deadline design (round 3 lost its entire bench to a stalled cold tunnel,
+rc=124 with zero rows): this run is UN-LOSABLE by construction.
+
+- A persistent XLA compilation cache (``/tmp/jax_tpu_cache``) makes every
+  repeat run warm — the same pattern the test suite uses
+  (``tests/conftest.py``).
+- Sections are ordered by evidence value: bf16 headline first (one compile
+  to the first stdout JSON line), then train rows, int8, reference-shape
+  flagship, DeepLabV2, then optional sweeps.
+- The headline JSON is printed to stdout as soon as the FIRST qualifying
+  measurement exists and re-printed (updated) as better rows land; every
+  row is flushed to stderr the moment it is measured.
+- A watchdog thread enforces ``BENCH_BUDGET_S`` (default 1200 s): at the
+  deadline it prints the final headline and ``os._exit(0)``s — this works
+  even while the main thread is blocked inside a remote XLA compile,
+  because PJRT releases the GIL. SIGTERM (what ``timeout`` sends) does the
+  same. Optional sections are skipped outright when the remaining budget
+  is too thin for their compiles.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+def _configure_cache() -> None:
+    """Persistent compilation cache: repeat runs (the driver's end-of-round
+    run after this round's in-session warm-up) skip every unchanged compile.
+    Called from the script entry point only — importing this module (tests)
+    must not clobber the importer's cache configuration."""
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 BASELINE_IMG_PER_SEC = 300.0  # BASELINE.md: >=300 img/s/chip @ 1024x512, v5e
 H, W = 512, 1024
@@ -38,11 +69,66 @@ WARMUP, ITERS = 10, 100
 V5E_PEAK_BF16 = 197e12
 V5E_PEAK_INT8 = 394e12
 
+_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 
-def _mfu(flops_per_iter, sec_per_iter, peak=V5E_PEAK_BF16):
-    if not flops_per_iter or not sec_per_iter:
-        return None
-    return flops_per_iter / sec_per_iter / peak
+
+def _elapsed() -> float:
+    return time.perf_counter() - _START
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+def _log(msg: str) -> None:
+    print(f"[{_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+class _Headline:
+    """Best-so-far headline row; every improvement is re-printed to stdout
+    immediately so an external kill at ANY later point still leaves a
+    parseable last line."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.row: dict | None = None
+
+    def update(self, value: float) -> None:
+        with self._lock:
+            if self.row is not None and value <= self.row["value"]:
+                return
+            self.row = {
+                "metric": "bisenet_r18_infer_images_per_sec_1024x512",
+                "value": round(value, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(value / BASELINE_IMG_PER_SEC, 3),
+            }
+            print(json.dumps(self.row), flush=True)
+
+    def emit_final(self, why: str) -> None:
+        with self._lock:
+            if self.row is None:
+                _log(f"final emit ({why}): no measurement recorded")
+                return
+            _log(f"final emit ({why})")
+            print(json.dumps(self.row), flush=True)
+
+
+HEADLINE = _Headline()
+
+
+def _watchdog() -> None:
+    while True:
+        time.sleep(5)
+        if _remaining() <= 0:
+            HEADLINE.emit_final("watchdog deadline")
+            os._exit(0)
+
+
+def _on_sigterm(signum, frame):  # noqa: ANN001
+    HEADLINE.emit_final(f"signal {signum}")
+    os._exit(0)
 
 
 # 19-class palette for the learnable synthetic batches (any injective
@@ -71,6 +157,12 @@ def _learnable_batch(rng, batch, h, w, cells=32):
     )
 
 
+def _mfu(flops_per_iter, sec_per_iter, peak=V5E_PEAK_BF16):
+    if not flops_per_iter or not sec_per_iter:
+        return None
+    return flops_per_iter / sec_per_iter / peak
+
+
 def _build():
     from rtda_semanticsegmentation_tpu.config import ExperimentConfig
     from rtda_semanticsegmentation_tpu.models.factory import build_model, init_model
@@ -93,23 +185,20 @@ def _build():
     return variables, forward
 
 
-def _time_batch(forward, variables, batch: int) -> tuple[float, float]:
-    """Returns (device seconds/iter, host-roundtrip seconds/iter).
+def _time_batch(
+    forward, variables, batch: int, with_rtt: bool = False
+) -> tuple[float, float | None]:
+    """Returns (device seconds/iter, single-call host-roundtrip sec or None).
 
     Device time: ITERS forwards run inside ONE compiled ``lax.fori_loop``
-    (input scaled by the loop index so nothing is loop-invariant, outputs
-    accumulated into the carry so nothing is dead) with a single scalar
-    fetch at the end — amortizing any host<->device transport latency.
-    ``block_until_ready`` alone is NOT trusted: experimental PJRT
-    transports can treat it as a no-op, and a per-iteration scalar fetch
-    measures transport RTT instead of the device. Both failure modes were
-    observed on this runner (62k img/s and 28 img/s respectively for the
-    same model)."""
-    # A ring of distinct input batches, indexed by the loop counter: the
-    # forward can't be hoisted out of the loop (a scalar-scale trick distorts
-    # results instead — measured 4x slowdowns from whatever XLA does with it),
-    # and reading 12 MB/iter from HBM is ~15 us of the ~10 ms iteration.
-    # uint8, as serving receives it — the forward normalizes inside.
+    (distinct ring inputs indexed by the loop counter so nothing is
+    loop-invariant, outputs accumulated into the carry so nothing is dead)
+    with a single scalar fetch at the end — amortizing any host<->device
+    transport latency. ``block_until_ready`` alone is NOT trusted:
+    experimental PJRT transports can treat it as a no-op, and a
+    per-iteration scalar fetch measures transport RTT instead of the
+    device. Both failure modes were observed on this runner (62k img/s and
+    28 img/s respectively for the same model)."""
     ring = jnp.asarray(
         np.random.RandomState(0).randint(0, 256, (4, batch, H, W, 3), np.uint8)
     )
@@ -127,6 +216,8 @@ def _time_batch(forward, variables, batch: int) -> tuple[float, float]:
     t0 = time.perf_counter()
     float(loop(variables, ring, ITERS))
     device_per_iter = (time.perf_counter() - t0) / ITERS
+    if not with_rtt:
+        return device_per_iter, None
 
     @jax.jit
     def single(variables, images):
@@ -234,13 +325,11 @@ def _train_throughput(
     return batch / sec, sec, flops, state.generator.variables
 
 
-def _deeplab_throughput():
+def _deeplab_throughput(batches=(8, 32)):
     """DeepLabV2 (ResNet-101 + ASPP) bf16 inference row: best img/s + MFU."""
-    from rtda_semanticsegmentation_tpu.config import ModelConfig
+    from rtda_semanticsegmentation_tpu.config import AugmentConfig, ModelConfig
     from rtda_semanticsegmentation_tpu.models.factory import build_model, init_model
     from rtda_semanticsegmentation_tpu.obs.profiler import xla_flops
-
-    from rtda_semanticsegmentation_tpu.config import AugmentConfig
     from rtda_semanticsegmentation_tpu.ops.augment import normalize_u8
 
     cfg = ModelConfig(name="deeplabv2", context_path="resnet101")
@@ -256,13 +345,18 @@ def _deeplab_throughput():
         return model.apply(variables, x, False)
 
     best_ips, best_b, best_sec = 0.0, 0, 0.0
-    for b in (8, 16, 32):
+    for b in batches:
         sec, _ = _time_batch(forward, variables, b)
         ips = b / sec
+        _log(f"deeplabv2-r101 bf16 batch={b}: {ips:.1f} img/s")
         if ips > best_ips:
             best_ips, best_b, best_sec = ips, b, sec
-    x = jnp.zeros((best_b, H, W, 3), jnp.uint8)
-    flops = xla_flops(forward, variables, x)
+        if _remaining() < 90:
+            break
+    flops = None
+    if _remaining() > 60:
+        x = jnp.zeros((best_b, H, W, 3), jnp.uint8)
+        flops = xla_flops(forward, variables, x)
     return best_ips, best_b, _mfu(flops, best_sec)
 
 
@@ -274,7 +368,6 @@ def _build_int8(variables):
     activation ranges, not PRNG inits."""
     from rtda_semanticsegmentation_tpu.config import ExperimentConfig
     from rtda_semanticsegmentation_tpu.models.quantize import calibrate, quantized_model
-
     from rtda_semanticsegmentation_tpu.ops.augment import normalize_u8
 
     cfg = ExperimentConfig()
@@ -323,165 +416,182 @@ def _devices_with_retry(attempts: int = 5, wait_s: float = 60.0):
             # fail deterministically and should surface immediately.
             if attempt == attempts - 1 or "unavailable" not in str(e).lower():
                 raise
-            print(
+            _log(
                 f"backend init failed (attempt {attempt + 1}/{attempts}): "
-                f"{e}; retrying in {wait_s:.0f}s",
-                file=sys.stderr,
+                f"{e}; retrying in {wait_s:.0f}s"
             )
             clear_backends()
-            time.sleep(wait_s)
+            time.sleep(min(wait_s, max(_remaining() - 60, 1)))
 
 
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    threading.Thread(target=_watchdog, daemon=True).start()
+    _log(f"budget {BUDGET_S:.0f}s (BENCH_BUDGET_S to override)")
+
     dev = _devices_with_retry()[0]
-    print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
+    _log(f"device: {dev.device_kind} ({dev.platform})")
     variables, forward = _build()
 
-    # Throughput: scan batch sizes, keep the best device img/s.
-    best_ips, best_b, best_sec = 0.0, 1, 0.0
-    for b in (1, 2, 4, 8, 16, 32, 64, 96, 128):
-        dev, rtt = _time_batch(forward, variables, b)
-        ips = b / dev
-        print(
-            f"bf16 batch={b}: {ips:.1f} img/s device ({dev * 1e3:.2f} ms/iter; "
-            f"single-call incl. host RTT {rtt * 1e3:.2f} ms)",
-            file=sys.stderr,
+    # ---- Section 1: bf16 serving headline. Batch 1 first: one compile to
+    # the first stdout JSON line, then the known-best batch 128.
+    bf16 = {}  # batch -> (img/s, sec/iter)
+
+    def bf16_row(b: int, with_rtt: bool = False) -> None:
+        sec, rtt = _time_batch(forward, variables, b, with_rtt=with_rtt)
+        ips = b / sec
+        bf16[b] = (ips, sec)
+        rtt_s = f"; single-call incl. host RTT {rtt * 1e3:.2f} ms" if rtt else ""
+        _log(f"bf16 batch={b}: {ips:.1f} img/s device "
+             f"({sec * 1e3:.2f} ms/iter{rtt_s})")
+        HEADLINE.update(ips)
+
+    bf16_row(1, with_rtt=True)
+    bf16_row(128)
+    for b in (96, 32, 8):
+        if _remaining() < 0.55 * BUDGET_S:
+            break
+        bf16_row(b)
+
+    best_b, (best_ips, best_sec) = max(bf16.items(), key=lambda kv: kv[1][0])
+    infer_flops = None
+    if _remaining() > 120:
+        from rtda_semanticsegmentation_tpu.obs.profiler import xla_flops
+
+        infer_flops = xla_flops(
+            lambda v, im: forward(v, im),
+            variables,
+            jnp.zeros((best_b, H, W, 3), jnp.uint8),
         )
-        if ips > best_ips:
-            best_ips, best_b, best_sec = ips, b, dev
-    from rtda_semanticsegmentation_tpu.obs.profiler import xla_flops
+        mfu = _mfu(infer_flops, best_sec)
+        _log(f"bf16 best: batch={best_b} ({best_ips:.1f} img/s"
+             + (f", MFU {mfu:.1%})" if mfu else ")"))
 
-    def _fwd(v, im):
-        return forward(v, im)
-
-    infer_flops = xla_flops(
-        _fwd, variables, jnp.zeros((best_b, H, W, 3), jnp.uint8)
-    )
-    mfu = _mfu(infer_flops, best_sec)
-    print(
-        f"bf16 best: batch={best_b} ({best_ips:.1f} img/s, "
-        f"MFU {mfu:.1%})" if mfu else
-        f"bf16 best: batch={best_b} ({best_ips:.1f} img/s)",
-        file=sys.stderr,
-    )
-
-    # Training throughput rows (run BEFORE int8 so the fidelity probe gets
-    # trained weights, not PRNG inits): vanilla + flagship swept over batch
-    # (inference gained 2.1x from batch scaling; the train headline is the
-    # best-batch number), each with MFU.
+    # ---- Section 2: train rows (before int8 so the fidelity probe gets
+    # trained weights, not PRNG inits): vanilla b8 + flagship b8, each with
+    # MFU; batch sweeps deferred to the optional tail.
     trained_vars = None
-    for mode, label, t_batches in (
-        ("vanilla", "train vanilla+aug", (8, 16, 32)),
-        ("flagship", "train adversarial+lovasz", (8, 16)),
+    train_rows = {}  # (mode, batch) -> img/s
+    for mode, label, tb in (
+        ("vanilla", "train vanilla+aug", 8),
+        ("flagship", "train adversarial+lovasz", 8),
     ):
-        best_row = None
-        for tb in t_batches:
-            try:
-                t_ips, t_sec, t_flops, g_vars = _train_throughput(mode, tb)
-            except Exception as e:
-                print(f"{label} (b{tb}) skipped: {e}", file=sys.stderr)
-                continue
-            t_mfu = _mfu(t_flops, t_sec)
-            mfu_s = f", MFU {t_mfu:.1%}" if t_mfu else ""
-            print(
-                f"{label} (b{tb}): {t_ips:.1f} img/s "
-                f"({t_sec * 1e3:.1f} ms/step{mfu_s})",
-                file=sys.stderr,
-            )
-            if best_row is None or t_ips > best_row[1]:
-                best_row = (tb, t_ips)
-            if mode == "vanilla" and tb == 8:
-                trained_vars = g_vars
-        if best_row is not None:
-            print(
-                f"{label} best: batch={best_row[0]} ({best_row[1]:.1f} img/s)",
-                file=sys.stderr,
-            )
-
-    # The reference's parity configuration trains MIXED shapes: GTA5 source
-    # at 1280x720 + Cityscapes target at 1024x512 (reference config.py:16-21,
-    # 227-233). One flagship row at those shapes proves the mixed-resolution
-    # step compiles and runs at speed (per-input D/block-mean shapes).
-    try:
-        t_ips, t_sec, t_flops, _ = _train_throughput(
-            "flagship", 8, src_size=(720, 1280), tgt_size=(512, 1024)
-        )
+        if _remaining() < 180:
+            _log(f"{label} skipped: {_remaining():.0f}s left")
+            continue
+        try:
+            t_ips, t_sec, t_flops, g_vars = _train_throughput(mode, tb)
+        except Exception as e:  # noqa: BLE001
+            _log(f"{label} (b{tb}) failed: {e}")
+            continue
         t_mfu = _mfu(t_flops, t_sec)
         mfu_s = f", MFU {t_mfu:.1%}" if t_mfu else ""
-        print(
-            f"train flagship @ reference shapes (src 1280x720 + tgt "
-            f"1024x512, b8): {t_ips:.1f} src img/s "
-            f"({t_sec * 1e3:.1f} ms/step{mfu_s})",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"reference-shape flagship row skipped: {e}", file=sys.stderr)
+        _log(f"{label} (b{tb}): {t_ips:.1f} img/s "
+             f"({t_sec * 1e3:.1f} ms/step{mfu_s})")
+        train_rows[(mode, tb)] = t_ips
+        if mode == "vanilla":
+            trained_vars = g_vars
 
-    # int8 PTQ serving path: qualifies as headline only above 0.99 on-device
-    # argmax agreement with the bf16 path — probed on the briefly-trained
-    # weights from the vanilla timing run (23 steps on a learnable
-    # synthetic batch), so both the calibrated activation ranges and the
-    # logit structure reflect a trained (if young) network, not PRNGKey(0)
-    # and not a random-label-trained one (whose near-uniform logits flip
-    # argmax under any noise). The real-data gate is --final_int8_eval
-    # (val-set mIoU through the int8 path, train/loop.py).
-    try:
-        fid_vars = trained_vars if trained_vars is not None else variables
-        provenance = (
-            "trained weights (23 learnable-synthetic steps)"
-            if trained_vars is not None else "random init (fallback)"
-        )
-        q_vars, q_forward, probe, q_clip = _build_int8(fid_vars)
-        a = jnp.argmax(forward(q_vars, probe), -1)
-        bq = jnp.argmax(q_forward(q_vars, probe), -1)
-        agreement = float(jnp.mean(a == bq))
-        print(
-            f"int8 argmax agreement vs bf16 on {provenance} "
-            f"(clip={q_clip}): {agreement:.4f}",
-            file=sys.stderr,
-        )
-        best_q, best_qb, best_qsec = 0.0, 0, 0.0
-        for b in (32, 64, 96, 128):
-            devt, _ = _time_batch(q_forward, q_vars, b)
-            ips = b / devt
-            print(f"int8 batch={b}: {ips:.1f} img/s device", file=sys.stderr)
-            if ips > best_q:
-                best_q, best_qb, best_qsec = ips, b, devt
-        if agreement >= 0.99 and best_q > best_ips:
-            # per-image FLOPs from the bf16 analysis, scaled to the int8 batch
-            q_mfu = _mfu(infer_flops * best_qb / max(best_b, 1), best_qsec,
-                         V5E_PEAK_INT8) if infer_flops else None
-            best_ips, best_b = best_q, best_qb
-            print(
-                f"headline: int8 PTQ batch={best_qb} ({best_q:.1f} img/s"
-                + (f", int8 MFU {q_mfu:.1%})" if q_mfu else ")"),
-                file=sys.stderr,
+    # ---- Section 3: int8 PTQ serving path. Qualifies as headline only
+    # above 0.99 on-device argmax agreement with the bf16 path — probed on
+    # the briefly-trained weights from the vanilla timing run (23 steps on
+    # a learnable synthetic batch), so both the calibrated activation
+    # ranges and the logit structure reflect a trained (if young) network,
+    # not PRNGKey(0) and not a random-label-trained one (whose near-uniform
+    # logits flip argmax under any noise). The real-data gate is
+    # --final_int8_eval (val-set mIoU through the int8 path, train/loop.py).
+    if _remaining() > 240:
+        try:
+            fid_vars = trained_vars if trained_vars is not None else variables
+            provenance = (
+                "trained weights (23 learnable-synthetic steps)"
+                if trained_vars is not None else "random init (fallback)"
             )
-    except Exception as e:
-        print(f"int8 sweep skipped: {e}", file=sys.stderr)
+            q_vars, q_forward, probe, q_clip = _build_int8(fid_vars)
+            a = jnp.argmax(forward(q_vars, probe), -1)
+            bq = jnp.argmax(q_forward(q_vars, probe), -1)
+            agreement = float(jnp.mean(a == bq))
+            _log(f"int8 argmax agreement vs bf16 on {provenance} "
+                 f"(clip={q_clip}, bias-corrected): {agreement:.4f}")
+            best_q, best_qb, best_qsec = 0.0, 0, 0.0
+            for b in (128, 96, 64):
+                if _remaining() < 90:
+                    break
+                devt, _ = _time_batch(q_forward, q_vars, b)
+                ips = b / devt
+                _log(f"int8 batch={b}: {ips:.1f} img/s device")
+                if ips > best_q:
+                    best_q, best_qb, best_qsec = ips, b, devt
+            if agreement >= 0.99 and best_q > best_ips:
+                q_mfu = _mfu(
+                    infer_flops * best_qb / max(best_b, 1), best_qsec,
+                    V5E_PEAK_INT8,
+                ) if infer_flops else None
+                _log(f"headline: int8 PTQ batch={best_qb} ({best_q:.1f} img/s"
+                     + (f", int8 MFU {q_mfu:.1%})" if q_mfu else ")"))
+                HEADLINE.update(best_q)
+            elif best_q:
+                _log(f"int8 best {best_q:.1f} img/s NOT headline "
+                     f"(agreement {agreement:.4f} vs 0.99 gate)")
+        except Exception as e:  # noqa: BLE001
+            _log(f"int8 sweep failed: {e}")
 
-    # DeepLabV2 upper-bound model inference row.
-    try:
-        d_ips, d_b, d_mfu = _deeplab_throughput()
-        mfu_s = f", MFU {d_mfu:.1%}" if d_mfu else ""
-        print(
-            f"deeplabv2-r101 bf16 batch={d_b}: {d_ips:.1f} img/s{mfu_s}",
-            file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"deeplabv2 row skipped: {e}", file=sys.stderr)
+    # ---- Section 4: the reference's parity configuration trains MIXED
+    # shapes: GTA5 source 1280x720 + Cityscapes target 1024x512 (reference
+    # config.py:16-21, 227-233). One flagship row at those shapes proves
+    # the mixed-resolution step compiles and runs at speed.
+    if _remaining() > 240:
+        try:
+            t_ips, t_sec, t_flops, _ = _train_throughput(
+                "flagship", 8, src_size=(720, 1280), tgt_size=(512, 1024)
+            )
+            t_mfu = _mfu(t_flops, t_sec)
+            mfu_s = f", MFU {t_mfu:.1%}" if t_mfu else ""
+            _log(f"train flagship @ reference shapes (src 1280x720 + tgt "
+                 f"1024x512, b8): {t_ips:.1f} src img/s "
+                 f"({t_sec * 1e3:.1f} ms/step{mfu_s})")
+        except Exception as e:  # noqa: BLE001
+            _log(f"reference-shape flagship row failed: {e}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "bisenet_r18_infer_images_per_sec_1024x512",
-                "value": round(best_ips, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(best_ips / BASELINE_IMG_PER_SEC, 3),
-            }
-        )
-    )
+    # ---- Section 5: DeepLabV2 upper-bound model inference row.
+    if _remaining() > 180:
+        try:
+            d_ips, d_b, d_mfu = _deeplab_throughput()
+            mfu_s = f", MFU {d_mfu:.1%}" if d_mfu else ""
+            _log(f"deeplabv2-r101 bf16 best: batch={d_b} ({d_ips:.1f} "
+                 f"img/s{mfu_s})")
+        except Exception as e:  # noqa: BLE001
+            _log(f"deeplabv2 row failed: {e}")
+
+    # ---- Section 6 (optional tail): fill in the bf16 batch sweep and the
+    # train batch sweep while budget remains.
+    for b in (2, 4, 16, 64):
+        if _remaining() < 120 or b in bf16:
+            break
+        bf16_row(b)
+    for mode, label, tb in (
+        ("vanilla", "train vanilla+aug", 16),
+        ("vanilla", "train vanilla+aug", 32),
+        ("flagship", "train adversarial+lovasz", 16),
+    ):
+        if _remaining() < 240:
+            break
+        try:
+            t_ips, t_sec, _, _ = _train_throughput(mode, tb)
+            _log(f"{label} (b{tb}): {t_ips:.1f} img/s "
+                 f"({t_sec * 1e3:.1f} ms/step)")
+            train_rows[(mode, tb)] = t_ips
+        except Exception as e:  # noqa: BLE001
+            _log(f"{label} (b{tb}) failed: {e}")
+    for mode in ("vanilla", "flagship"):
+        rows = {b: v for (m, b), v in train_rows.items() if m == mode}
+        if rows:
+            bb = max(rows, key=rows.get)
+            _log(f"train {mode} best: batch={bb} ({rows[bb]:.1f} img/s)")
+
+    HEADLINE.emit_final("run complete")
 
 
 if __name__ == "__main__":
+    _configure_cache()
     main()

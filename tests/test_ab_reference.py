@@ -18,29 +18,45 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.slow
-def test_vanilla_trajectory_matches_reference(tmp_path):
+def _run_ab(tmp_path, mode, epochs):
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     try:
         import ab_reference
     finally:
         sys.path.pop(0)
-
-    # the subprocesses must NOT inherit this test process's cpu-pinned
-    # jax config; they configure themselves (_ab_run_ours forces cpu
-    # in-process, the reference side is torch-only)
     results = ab_reference.main([
-        "--modes", "vanilla",
-        "--epochs", "6",
+        "--modes", mode,
+        "--epochs", str(epochs),
         "--out", str(tmp_path),
     ])
     (res,) = results
-    assert res["epochs_compared"] >= 6
+    assert res["epochs_compared"] >= epochs
     # f32 chaos compounds; observed agreement is ~1e-3 mIoU at epoch 10
     # (see PARITY.md). 0.02 absolute mIoU / 5% relative loss would catch
-    # any semantic divergence (wrong LR schedule, BN drift, loss weighting)
-    # while tolerating float noise.
+    # any semantic divergence (wrong LR schedule, BN drift, loss weighting,
+    # D-update ordering) while tolerating float noise.
     assert res["max_dmiou"] < 0.02, res
     assert res["max_dloss_rel"] < 0.05, res
     # and the comparison is not vacuous: training actually moved mIoU
     assert res["ref_final_miou"] > res["rows"][0]["ref_miou"] - 1e-6
+    return res
+
+
+@pytest.mark.slow
+def test_vanilla_trajectory_matches_reference(tmp_path):
+    # the subprocesses must NOT inherit this test process's cpu-pinned
+    # jax config; they configure themselves (_ab_run_ours forces cpu
+    # in-process, the reference side is torch-only)
+    _run_ab(tmp_path, "vanilla", epochs=6)
+
+
+@pytest.mark.slow
+def test_flagship_trajectory_matches_reference(tmp_path):
+    """The mode the framework is named for — adversarial + Lovász UDA
+    (reference ``main_adversarial.py:295-339`` + ``train_lovasz.py:172``) —
+    pinned against the reference's own orchestrator. Covers the compounded
+    G/D dynamics: D-step-first ordering, G's adv term through the updated D,
+    shared poly-LR global step, CE + 0.5*Lovász + 0.002*adv composition.
+    5 epochs keeps the slow tier's runtime sane; the A/B harness runs our
+    side with ``lovasz_impl='sort'`` (the exact reference formulation)."""
+    _run_ab(tmp_path, "adversarial_lovasz", epochs=5)

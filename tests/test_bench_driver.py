@@ -8,6 +8,7 @@ fail loudly when the backend never comes up).
 
 from __future__ import annotations
 
+import json
 import pathlib
 import sys
 
@@ -56,6 +57,44 @@ def test_devices_retry_gives_up(monkeypatch):
 
     with pytest.raises(RuntimeError, match="UNAVAILABLE"):
         bench._devices_with_retry(attempts=3, wait_s=0)
+
+
+def test_import_does_not_clobber_cache_config():
+    """bench configures its TPU compile cache only when run as a script;
+    importing it (this suite) must leave conftest's cache dir in place."""
+    assert bench.jax.config.jax_compilation_cache_dir == "/tmp/jax_test_cache"
+
+
+def test_headline_emits_on_improvement_only(capsys):
+    h = bench._Headline()
+    h.update(100.0)
+    h.update(50.0)   # regression: not re-printed
+    h.update(200.0)  # improvement: printed
+    lines = [
+        json.loads(s) for s in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [r["value"] for r in lines] == [100.0, 200.0]
+    assert all(
+        r["metric"] == "bisenet_r18_infer_images_per_sec_1024x512"
+        and r["unit"] == "img/s/chip"
+        for r in lines
+    )
+    assert lines[-1]["vs_baseline"] == pytest.approx(200.0 / 300.0, abs=1e-3)
+
+
+def test_headline_final_reprints_best(capsys):
+    """The driver reads the LAST stdout line; emit_final must re-print the
+    best row so a kill after any section still parses."""
+    h = bench._Headline()
+    h.update(1234.5)
+    h.emit_final("test")
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1])["value"] == 1234.5
+
+
+def test_headline_final_without_measurement_prints_nothing(capsys):
+    bench._Headline().emit_final("test")
+    assert capsys.readouterr().out == ""
 
 
 def test_devices_no_retry_on_config_errors(monkeypatch):
