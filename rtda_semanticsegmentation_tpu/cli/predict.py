@@ -204,7 +204,7 @@ def main(argv=None) -> int:
 
     apply_fn = model.apply
     if args.precision == "int8":
-        from ..models.quantize import calibrate, quantized_model
+        from ..models.quantize import calibrate, freeze, quantized_model
 
         n_cal = max(1, min(args.calib_batches, len(batches)))
         calib = []
@@ -212,8 +212,8 @@ def main(argv=None) -> int:
             decoded_cache[bi] = [decode(p) for p in chunk]
             imgs = np.stack([d[0] for d in decoded_cache[bi]])
             calib.append(normalize_u8(jnp.asarray(imgs), cfg.augment))
-        variables = calibrate(mcfg, variables, calib)
-        apply_fn = quantized_model(mcfg).apply
+        variables = freeze(mcfg, calibrate(mcfg, variables, calib))
+        apply_fn = quantized_model(mcfg, frozen=True).apply
         print(f"int8 calibration done ({n_cal} batch(es))", file=sys.stderr)
 
     @jax.jit

@@ -50,6 +50,15 @@ class AugmentConfig:
     # ImageNet normalization (reference config.py:128-130)
     norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # Compute dtype of the stochastic per-image ops inside augment_batch
+    # (statistics reductions stay f32; ISONoise's hue math stays f32).
+    # bfloat16 halves the pipeline's HBM traffic — the b32 step's aug cost
+    # is bandwidth, not flops (PERFORMANCE.md) — and its 2^-8 relative
+    # rounding sits at the same grid as the reference's own albumentations
+    # math, which runs on uint8 images (1/255 steps) BEFORE normalization
+    # (reference config.py:204-214: ColorJitter/ISONoise/CoarseDropout
+    # precede A.Normalize). f32 restores bit-level headroom if wanted.
+    aug_dtype: str = "bfloat16"
 
     @property
     def flags(self) -> Tuple[bool, bool, bool, bool]:
@@ -132,7 +141,9 @@ class ModelConfig:
     pretrained_backbone: Optional[str] = None  # path to converted .npz weights
     disc_ndf: int = 64  # FCDiscriminator base width (reference discriminator.py:12)
     # int8 post-training quantization for the serving path ('none' | 'calib'
-    # | 'int8'); training always runs 'none'. Convs with >= quant_min_ch
+    # | 'int8' | 'freeze' | 'int8_frozen' — the last two are set internally
+    # by models/quantize.py freeze()/quantized_model(frozen=True));
+    # training always runs 'none'. Convs with >= quant_min_ch
     # input channels are quantized after a calibration pass
     # (models/quantize.py). v5e's MXU runs s8 at 2x the bf16 rate.
     quant: str = "none"

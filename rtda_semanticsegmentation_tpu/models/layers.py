@@ -240,6 +240,14 @@ class QuantConv(nn.Module):
       per-output-channel, convolves s8 x s8 -> s32 on the MXU, dequantizes
       into the compute dtype (see ``ops/quant.py``). Requires a prior
       calibration pass (``models/quantize.py::calibrate``).
+    - ``freeze``: one-time pass (``models/quantize.py::freeze``) that
+      precomputes the int8 serving constants (quantized kernel, dequant
+      scale, combined zero-point + bias correction) into a mutable
+      ``quant_frozen`` collection, then runs the normal compute-dtype conv.
+    - ``int8_frozen``: the int8 path against the frozen constants — only
+      the activation quantize runs per forward. Identical arithmetic to
+      ``int8``; ~17% faster at batch 128 (the per-forward weight work is
+      batch-independent; BENCH r4).
     """
 
     features: int
@@ -260,7 +268,12 @@ class QuantConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.quant import calib_clip_channels, int8_conv
+        from ..ops.quant import (
+            calib_clip_channels,
+            freeze_weights,
+            int8_conv,
+            int8_conv_frozen,
+        )
 
         kh, kw = self.kernel_size
         ci = x.shape[-1]
@@ -299,6 +312,44 @@ class QuantConv(nn.Module):
                 self.padding,
                 rhs_dilation=d,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.mode in ("freeze", "int8_frozen"):
+            co = self.features
+            wq_v = self.variable(
+                "quant_frozen", "wq",
+                lambda: jnp.zeros((kh, kw, ci, co), jnp.int8),
+            )
+            sw_v = self.variable(
+                "quant_frozen", "sw", lambda: jnp.ones((co,), jnp.float32)
+            )
+            c_v = self.variable(
+                "quant_frozen", "c", lambda: jnp.zeros((co,), jnp.float32)
+            )
+            if self.mode == "freeze":
+                if not self.is_initializing():
+                    wq_v.value, sw_v.value, c_v.value = freeze_weights(
+                        kernel, stat.value, mean_stat.value
+                    )
+                # propagate real activations so downstream convs freeze
+                # against their actual input statistics' shapes
+                return jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    kernel.astype(self.dtype),
+                    self.strides,
+                    self.padding,
+                    rhs_dilation=d,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            return int8_conv_frozen(
+                x,
+                wq_v.value,
+                sw_v.value,
+                c_v.value,
+                stat.value,
+                self.strides,
+                self.padding,
+                dilation=d,
+                out_dtype=self.dtype,
             )
         assert self.mode == "int8", self.mode
         # unsigned=True: every quantized conv in these models consumes a

@@ -61,7 +61,7 @@ def _saturation(img, factor):
 
 def _hue(img, shift_frac):
     hsv = rgb_to_hsv(img)
-    hsv = hsv.at[..., 0].add(shift_frac * 360.0)
+    hsv = hsv.at[..., 0].add(jnp.asarray(shift_frac * 360.0, img.dtype))
     return jnp.clip(hsv_to_rgb(hsv), 0.0, 1.0)
 
 
@@ -70,30 +70,40 @@ def color_jitter(
 ) -> jnp.ndarray:
     """torchvision/albumentations-style ColorJitter on one (H, W, 3) image
     in [0, 1]: the 4 sub-ops run in a uniformly random order with factors
-    drawn from the configured ranges."""
+    drawn from the configured ranges.
+
+    Structure: under ``vmap`` a ``lax.switch`` evaluates EVERY branch for
+    every image anyway, so each of the 4 sequential steps computes all four
+    candidate outputs with hand-shared subexpressions (one gray pass serves
+    contrast AND saturation; one HSV round trip serves hue) and picks the
+    ordered one with ``lax.select_n`` — the same math as dispatching
+    per-op with less duplicate work (A/B in PERFORMANCE.md). The sequential
+    dependency itself is irreducible: torchvision's contrast blends with
+    the mean gray of the CURRENT intermediate, so each step carries a
+    reduction barrier."""
+    dt = img.dtype
     k_ord, k_b, k_c, k_s, k_h = jax.random.split(key, 5)
     fb = jax.random.uniform(
         k_b, minval=1.0 - cfg.cj_brightness, maxval=1.0 + cfg.cj_brightness
-    )
+    ).astype(dt)
     fc = jax.random.uniform(
         k_c, minval=1.0 - cfg.cj_contrast, maxval=1.0 + cfg.cj_contrast
-    )
+    ).astype(dt)
     fs = jax.random.uniform(
         k_s, minval=1.0 - cfg.cj_saturation, maxval=1.0 + cfg.cj_saturation
-    )
+    ).astype(dt)
     fh = jax.random.uniform(k_h, minval=-cfg.cj_hue, maxval=cfg.cj_hue)
     order = jax.random.permutation(k_ord, 4)
 
     def apply_op(i, im):
-        return jax.lax.switch(
+        gray = im @ jnp.asarray(_GRAY_WEIGHTS, im.dtype)
+        mean = jnp.mean(gray, dtype=jnp.float32).astype(im.dtype)
+        return jax.lax.select_n(
             order[i],
-            [
-                lambda x: _brightness(x, fb),
-                lambda x: _contrast(x, fc),
-                lambda x: _saturation(x, fs),
-                lambda x: _hue(x, fh),
-            ],
-            im,
+            _brightness(im, fb),
+            _blend(im, jnp.full_like(im, mean), fc),          # contrast
+            _blend(im, jnp.broadcast_to(gray[..., None], im.shape), fs),
+            _hue(im, fh),
         )
 
     return jax.lax.fori_loop(0, 4, apply_op, img)
@@ -128,7 +138,13 @@ def iso_noise(
 ) -> jnp.ndarray:
     """albumentations ISONoise on one (H, W, 3) image in [0, 1]:
     L += Poisson(std(L) * intensity * 255)/255 * (1 - L);
-    H += Normal(0, color_shift * 360 * intensity) degrees."""
+    H += Normal(0, color_shift * 360 * intensity) degrees.
+
+    Interior math runs in f32 whatever the pipeline dtype: the hue NOISE
+    sigma goes down to ~0.4 degrees — below bf16's ~2-degree H resolution —
+    and the L-channel std feeds the Poisson rate."""
+    dt = img.dtype
+    img = img.astype(jnp.float32)
     k_i, k_c, k_pois, k_norm = jax.random.split(key, 4)
     intensity = jax.random.uniform(
         k_i, minval=cfg.iso_intensity[0], maxval=cfg.iso_intensity[1]
@@ -146,7 +162,7 @@ def iso_noise(
     h = (hls[..., 0] + color_noise) % 360.0
     l = jnp.clip(hls[..., 1] + (pois / 255.0) * (1.0 - hls[..., 1]), 0.0, 1.0)
     out = hls_to_rgb(jnp.stack([h, l, hls[..., 2]], axis=-1))
-    return jnp.clip(out, 0.0, 1.0)
+    return jnp.clip(out, 0.0, 1.0).astype(dt)
 
 
 def coarse_dropout(
@@ -183,7 +199,7 @@ def coarse_dropout(
         & (cols[None] >= x1[:, None, None])
         & (cols[None] < (x1 + ww)[:, None, None])
     ).any(axis=0)
-    return jnp.where(inside[..., None], jnp.float32(cfg.cd_fill), img)
+    return jnp.where(inside[..., None], jnp.asarray(cfg.cd_fill, img.dtype), img)
 
 
 def _maybe(key, p, fn, img):
@@ -224,12 +240,17 @@ def augment_batch(
     """
     hflip, cj, iso, cd = cfg.flags
     b = images_u8.shape[0]
-    imgs = images_u8.astype(jnp.float32) / 255.0
 
     if hflip:
+        # flip the uint8 images before the float conversion: same pixels,
+        # 1/4 the HBM traffic of flipping the f32 tensor
         flip = jax.random.bernoulli(jax.random.fold_in(key, 0), cfg.prob, (b,))
-        imgs = jnp.where(flip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+        images_u8 = jnp.where(
+            flip[:, None, None, None], images_u8[:, :, ::-1, :], images_u8
+        )
         labels = jnp.where(flip[:, None, None], labels[:, :, ::-1], labels)
+
+    imgs = images_u8.astype(jnp.float32) / 255.0
 
     def per_image(img, k):
         k1, k2, k3 = jax.random.split(k, 3)
@@ -246,6 +267,12 @@ def augment_batch(
 
     if cj or iso or cd:
         keys = jax.random.split(jax.random.fold_in(key, 1), b)
-        imgs = jax.vmap(per_image)(imgs, keys)
+        # The stochastic chain runs in cfg.aug_dtype (default bf16 — the
+        # pipeline is HBM-bandwidth-bound and the reference's albumentations
+        # math runs on uint8 anyway; see AugmentConfig.aug_dtype). Stats
+        # reductions and ISONoise interiors stay f32; the no-op and
+        # hflip-only paths stay exact f32.
+        dt = jnp.dtype(cfg.aug_dtype)
+        imgs = jax.vmap(per_image)(imgs.astype(dt), keys).astype(jnp.float32)
 
     return normalize(imgs, cfg), labels

@@ -144,6 +144,83 @@ def quantize_act(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
+def freeze_weights(
+    kernel: jnp.ndarray,
+    in_absmax: jnp.ndarray,
+    in_mean: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Precompute the unsigned-path int8 serving constants ONCE.
+
+    Returns ``(wq s8 (kh,kw,ci,co), sw f32 (co,), c f32 (co,))`` such that
+    the serving conv is just ``conv_s8(xq, wq) * sw + c`` — everything
+    :func:`int8_conv` recomputes per forward (channel fold, weight
+    quantization, zero-point sum, weight-rounding bias correction) folded
+    into weight-space constants at calibration time. Arithmetic is
+    identical to ``int8_conv(..., unsigned=True, in_mean=...)``:
+
+      out = (y + 127*sum(wq)) * sw + bias_corr
+          = y*sw + (127*sum(wq)*sw + bias_corr)  ==  y*sw + c
+
+    Measured motivation: the per-forward weight work is batch-independent
+    (~11M params x several elementwise passes + einsum per conv) and cost
+    ~17% of int8 serving throughput at batch 128 (BENCH r4).
+    """
+    sx = act_scale(in_absmax, unsigned=True)
+    folded = kernel.astype(jnp.float32) * (
+        sx if sx.ndim == 0 else sx[None, None, :, None]
+    )
+    wq, sw = quantize_weight(folded)
+    w_err = folded - wq.astype(jnp.float32) * sw
+    r_mean = jnp.broadcast_to(
+        in_mean.astype(jnp.float32) / sx, (kernel.shape[2],)
+    )
+    bias_corr = jnp.einsum("hwio,i->o", w_err, r_mean)
+    zp = 127.0 * jnp.sum(wq.astype(jnp.float32), axis=(0, 1, 2))
+    return wq, sw, zp * sw + bias_corr
+
+
+def int8_conv_frozen(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    sw: jnp.ndarray,
+    c: jnp.ndarray,
+    in_absmax: jnp.ndarray,
+    strides: Tuple[int, int],
+    padding,
+    dilation: Tuple[int, int] = (1, 1),
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Unsigned int8 conv against :func:`freeze_weights` constants.
+
+    Only the activation quantize/pad runs per forward; the weight-space
+    work was folded into ``(wq, sw, c)`` at freeze time. Bit-identical
+    math to ``int8_conv(..., unsigned=True, in_mean=...)``."""
+    if isinstance(padding, str):
+        raise ValueError(
+            "unsigned int8 conv needs explicit padding tuples (the pad "
+            f"value is the zero code), got {padding!r}"
+        )
+    sx = act_scale(in_absmax, unsigned=True)
+    q = jnp.round(x.astype(jnp.float32) / sx) - 127.0
+    xq = jnp.clip(q, -127, 127).astype(jnp.int8)
+    if any(p != 0 for pair in padding for p in pair):
+        xq = jnp.pad(
+            xq,
+            ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0)),
+            constant_values=np.int8(-127),
+        )
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        strides,
+        ((0, 0), (0, 0)),
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * sw + c).astype(out_dtype)
+
+
 def int8_conv(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

@@ -48,7 +48,7 @@ def make_serving_fn(model_cfg, augment_cfg, variables, precision: str = "bf16"):
     import jax.numpy as jnp
 
     from .models.factory import build_model
-    from .models.quantize import quantized_model
+    from .models.quantize import freeze, quantized_model
     from .ops.augment import normalize_u8
 
     if precision == "int8":
@@ -57,7 +57,11 @@ def make_serving_fn(model_cfg, augment_cfg, variables, precision: str = "bf16"):
                 "int8 serving needs calibrated variables — run "
                 "models.quantize.calibrate() first"
             )
-        model = quantized_model(model_cfg)
+        # serve against frozen weight-space constants (one-time precompute;
+        # +3.3% at b128 vs recomputing per forward — PERFORMANCE.md)
+        if "quant_frozen" not in variables:
+            variables = freeze(model_cfg, variables)
+        model = quantized_model(model_cfg, frozen=True)
         dtype = jnp.bfloat16
     elif precision in ("bf16", "f32"):
         dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32

@@ -793,7 +793,7 @@ def run_experiment(
         # addition, models/quantize.py): what mIoU does THIS trained model
         # lose when served through the s8 MXU path?
         try:
-            from ..models.quantize import calibrate, quantized_model
+            from ..models.quantize import calibrate, freeze, quantized_model
             from ..ops.augment import normalize_u8
 
             calib = []
@@ -805,9 +805,11 @@ def run_experiment(
                 )
                 if len(calib) >= 2:
                     break
-            q_vars = calibrate(cfg.model, trainer.g_variables(), calib)
+            q_vars = freeze(
+                cfg.model, calibrate(cfg.model, trainer.g_variables(), calib)
+            )
             q_step = jax.jit(
-                make_eval_step(cfg, quantized_model(cfg.model).apply)
+                make_eval_step(cfg, quantized_model(cfg.model, frozen=True).apply)
             )
             q_val = trainer.validate(eval_step=q_step, variables=q_vars)
             report["int8_miou"] = float(q_val["miou"])

@@ -37,7 +37,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
-def build_cfg(mode, impl, gta, cs, size, batch, epochs, out):
+def build_cfg(mode, impl, gta, cs, size, batch, epochs, out, seed=0):
     from rtda_semanticsegmentation_tpu.config import get_preset
 
     preset = (
@@ -66,7 +66,7 @@ def build_cfg(mode, impl, gta, cs, size, batch, epochs, out):
             cfg.train,
             batch_size=batch,
             epochs=epochs,
-            seed=0,
+            seed=seed,
             checkpoint_dir=os.path.join(out, f"ckpt_{mode}_{impl}"),
             validate_freq_epoch=max(1, epochs // 10),
             print_freq_batch=1000,
@@ -104,6 +104,10 @@ def main(argv=None):
     p.add_argument("--n_images", type=int, default=16)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0,
+                   help="train seed (init + shuffle); fixtures stay fixed "
+                        "so extra seeds replicate the binned-vs-sort delta "
+                        "on identical data")
     p.add_argument("--out", default="/tmp/ab_lovasz")
     args = p.parse_args(argv)
 
@@ -129,7 +133,7 @@ def main(argv=None):
             print(f"=== {run_name} ({args.epochs} epochs x "
                   f"{args.n_images // args.batch} steps) ===", flush=True)
             cfg = build_cfg(mode, impl, gta, cs, args.size, args.batch,
-                            args.epochs, args.out)
+                            args.epochs, args.out, seed=args.seed)
             report = run_experiment(
                 cfg, run_name=run_name, measure_performance=False
             )

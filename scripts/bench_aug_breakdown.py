@@ -15,6 +15,7 @@ Run on TPU:
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 
@@ -22,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-H, W, BATCH = 512, 1024, 8
+H, W = 512, 1024
+BATCH = int(os.environ.get("AUG_BATCH", "8"))
 PIPELINES = (
     "no_new_aug",
     "hflip_only",

@@ -22,6 +22,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_step_decompo
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 
@@ -31,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-H, W, BATCH = 512, 1024, 8
+H, W = 512, 1024
+BATCH = int(os.environ.get("DECOMP_BATCH", "8"))
 ITERS, WARM_LOOPS = 20, 1
 V5E_PEAK_BF16 = 197e12
 
@@ -68,7 +70,12 @@ def build():
 
 
 def time_state_loop(step, state, batch) -> float:
-    """Donated state-carrying step, ordered by the state round trip."""
+    """Donated state-carrying step, ordered by the state round trip.
+
+    The donated buffers are consumed, so each timed program gets its own
+    fresh copy of ``state`` (the caller's copy stays alive for later
+    programs)."""
+    state = jax.tree.map(jnp.copy, state)
     step = jax.jit(step, donate_argnums=0)
     key = jax.random.PRNGKey(0)
     for _ in range(3):
@@ -193,12 +200,18 @@ def main() -> None:
     aug = rows["full"] - rows["full_noaug"]
     bwd = rows["fwdbwd"] - rows["fwd"]
     opt = rows["full_noaug"] - rows["fwdbwd"]
-    bwd_fl = flops["fwdbwd"] - flops["fwd"]
+    bwd_fl = (
+        flops["fwdbwd"] - flops["fwd"]
+        if flops.get("fwdbwd") and flops.get("fwd") else None
+    )
     print(f"aug pipeline      {aug * 1e3:7.2f} ms")
     print(f"forward (train)   {rows['fwd'] * 1e3:7.2f} ms  "
           f"(vs eval fwd {rows['infer_fwd'] * 1e3:.2f} ms)")
-    print(f"backward          {bwd * 1e3:7.2f} ms  "
-          f"({bwd_fl / 1e9:.1f} GF -> MFU {bwd_fl / bwd / V5E_PEAK_BF16:.1%})")
+    bwd_fl_s = (
+        f"({bwd_fl / 1e9:.1f} GF -> MFU {bwd_fl / bwd / V5E_PEAK_BF16:.1%})"
+        if bwd_fl else "(cost analysis unavailable)"
+    )
+    print(f"backward          {bwd * 1e3:7.2f} ms  {bwd_fl_s}")
     print(f"optimizer+writes  {opt * 1e3:7.2f} ms")
     print(f"(full {rows['full'] * 1e3:.2f} = aug {aug * 1e3:.2f} + fwd "
           f"{rows['fwd'] * 1e3:.2f} + bwd {bwd * 1e3:.2f} + opt {opt * 1e3:.2f}"

@@ -26,7 +26,7 @@ def main() -> None:
     print(f"train vanilla b8: {t_ips:.1f} img/s", file=sys.stderr)
 
     variables, forward = bench._build()
-    q_vars, q_forward, probe, q_clip = bench._build_int8(trained_vars)
+    q_vars, q_forward, probe, _labels, q_clip = bench._build_int8(trained_vars)
     a = jnp.argmax(forward(q_vars, probe), -1)
     bq = jnp.argmax(q_forward(q_vars, probe), -1)
     agreement = float(jnp.mean(a == bq))

@@ -37,7 +37,7 @@ def main() -> None:
     _, _, _, trained_vars = bench._train_throughput("vanilla", 8)
 
     variables, forward = bench._build()
-    q_vars, q_forward, _, q_clip = bench._build_int8(trained_vars)
+    q_vars, q_forward, _probe, _labels, q_clip = bench._build_int8(trained_vars)
 
     # held-out labeled batches: fresh seed, never seen by training (seed 0)
     # or calibration (seed 7)

@@ -135,6 +135,30 @@ def test_full_pipeline_runs_under_jit_and_labels_unchanged():
     assert not np.allclose(np.asarray(out), np.asarray(out2))
 
 
+def test_aug_dtype_bf16_tracks_f32_chain():
+    """The default bf16 stochastic chain must match the f32 chain up to
+    rounding: same keys -> same factors/masks/order on both paths, so the
+    difference is pure arithmetic rounding (~2^-8 per op, plus rare hue
+    sector flips at HSV boundaries)."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+    labels = rng.integers(0, 19, (2, 64, 64)).astype(np.int32)
+    base = AugmentConfig(pipeline="all_four_combined", prob=1.0)
+    outs = {}
+    for dt in ("bfloat16", "float32"):
+        cfg = dataclasses.replace(base, aug_dtype=dt)
+        out, _ = augment_batch(
+            jnp.array(imgs), jnp.array(labels), jax.random.PRNGKey(3), cfg
+        )
+        outs[dt] = np.asarray(out, np.float32)
+    # normalized space: image-space diffs are amplified ~1/0.225 = 4.4x
+    d = np.abs(outs["bfloat16"] - outs["float32"])
+    assert np.mean(d) < 0.05, np.mean(d)
+    assert np.quantile(d, 0.99) < 0.35, np.quantile(d, 0.99)
+
+
 def test_coarse_dropout_clamps_oversized_holes():
     """Holes larger than the image are clamped (albumentations rejects
     them); origins stay non-negative so a hole can't blank everything."""

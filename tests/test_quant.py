@@ -16,7 +16,7 @@ import pytest
 
 from rtda_semanticsegmentation_tpu.config import ModelConfig
 from rtda_semanticsegmentation_tpu.models.factory import build_model, init_model
-from rtda_semanticsegmentation_tpu.models.quantize import calibrate, quantized_model
+from rtda_semanticsegmentation_tpu.models.quantize import calibrate, freeze, quantized_model
 from rtda_semanticsegmentation_tpu.ops.quant import (
     int8_conv,
     quantize_act,
@@ -130,6 +130,78 @@ def test_deeplabv2_int8_matches_f32():
         for kp, _ in jax.tree_util.tree_leaves_with_path(cal["quant_stats"])
     ]
     assert paths and not any("aspp" in p for p in paths)
+
+
+def test_frozen_conv_primitive_matches_int8_conv():
+    """Single conv: freeze_weights + int8_conv_frozen reproduce int8_conv's
+    unsigned bias-corrected output up to f32 reassociation only
+    ((y + zp)*sw vs y*sw + zp*sw) — ~1e-7 relative."""
+    from rtda_semanticsegmentation_tpu.ops.quant import (
+        freeze_weights,
+        int8_conv_frozen,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(np.abs(rng.randn(2, 16, 16, 64)).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 64, 32).astype(np.float32) * 0.05)
+    absmax = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+    mean = jnp.mean(x, axis=(0, 1, 2))
+    pad = ((1, 1), (1, 1))
+    ref = np.asarray(int8_conv(
+        x, w, absmax, (1, 1), pad, unsigned=True, in_mean=mean,
+        out_dtype=jnp.float32,
+    ))
+    wq, sw, c = freeze_weights(w, absmax, mean)
+    out = np.asarray(int8_conv_frozen(
+        x, wq, sw, c, absmax, (1, 1), pad, out_dtype=jnp.float32
+    ))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def _frozen_vs_int8(cfg, cal, frozen_vars, x):
+    ref = np.asarray(quantized_model(cfg).apply(cal, x, False), np.float32)
+    out = np.asarray(
+        quantized_model(cfg, frozen=True).apply(frozen_vars, x, False),
+        np.float32,
+    )
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    agree = (out.argmax(-1) == ref.argmax(-1)).mean()
+    return rel, agree
+
+
+def test_bisenet_frozen_matches_int8(bisenet_quant):
+    """calibrate -> freeze precomputes (wq, sw, c); per conv the frozen
+    path differs from int8 only by f32 reassociation (exact at the
+    primitive, test above), but each DOWNSTREAM activation quantizer's
+    round() amplifies boundary-straddling values to a full quant step —
+    so whole-model equivalence is the recompile class (same phenomenon as
+    the AOT artifact's 0.9998 agreement, PERFORMANCE.md), not bitwise."""
+    cfg, model, variables, x = bisenet_quant
+    cal = calibrate(cfg, variables, [x])
+    frozen_vars = freeze(cfg, cal)
+    rel, agree = _frozen_vs_int8(cfg, cal, frozen_vars, x)
+    assert rel < 0.01, rel
+    assert agree > 0.99, agree
+
+
+def test_frozen_serves_other_resolutions(bisenet_quant):
+    """The frozen constants are weight-space only — freezing at the tiny
+    dummy resolution must serve any other input size equivalently to the
+    live int8 path at that size."""
+    cfg, model, variables, x = bisenet_quant
+    cal = calibrate(cfg, variables, [x])
+    frozen_vars = freeze(cfg, cal)
+    rng = np.random.RandomState(3)
+    x2 = jnp.asarray(rng.randn(1, 96, 160, 3).astype(np.float32))
+    rel, agree = _frozen_vs_int8(cfg, cal, frozen_vars, x2)
+    assert rel < 0.01, rel
+    assert agree > 0.99, agree
+
+
+def test_freeze_requires_calibration(bisenet_quant):
+    cfg, model, variables, x = bisenet_quant
+    with pytest.raises(ValueError, match="calibrated"):
+        freeze(cfg, variables)
 
 
 def test_quant_modes_share_param_tree(bisenet_quant):
