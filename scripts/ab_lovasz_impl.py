@@ -67,7 +67,10 @@ def build_cfg(mode, impl, gta, cs, size, batch, epochs, out, seed=0):
             batch_size=batch,
             epochs=epochs,
             seed=seed,
-            checkpoint_dir=os.path.join(out, f"ckpt_{mode}_{impl}"),
+            # seed in the path: run_experiment auto-resumes from existing
+            # checkpoints, so reusing a dir across seeds silently replays
+            # the previous run's final state instead of training
+            checkpoint_dir=os.path.join(out, f"ckpt_{mode}_{impl}_s{seed}"),
             validate_freq_epoch=max(1, epochs // 10),
             print_freq_batch=1000,
             save_checkpoint_freq_epoch=10 ** 6,
@@ -129,7 +132,7 @@ def main(argv=None):
     results = {}
     for mode in args.modes:
         for impl in ("binned", "sort"):
-            run_name = f"{mode}_{impl}"
+            run_name = f"{mode}_{impl}_s{args.seed}"
             print(f"=== {run_name} ({args.epochs} epochs x "
                   f"{args.n_images // args.batch} steps) ===", flush=True)
             cfg = build_cfg(mode, impl, gta, cs, args.size, args.batch,
@@ -149,8 +152,8 @@ def main(argv=None):
     print("\n=== comparison ===")
     summary = {}
     for mode in args.modes:
-        b = results[f"{mode}_binned"]
-        s = results[f"{mode}_sort"]
+        b = results[f"{mode}_binned_s{args.seed}"]
+        s = results[f"{mode}_sort_s{args.seed}"]
         d = abs(b["best_miou"] - s["best_miou"])
         curve_d = [
             abs(x[1] - y[1]) for x, y in zip(b["curve"], s["curve"])
