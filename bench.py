@@ -552,7 +552,10 @@ def main() -> None:
                  f"mIoU delta {miou_delta * 100:.3f} pts "
                  f"(gate < 0.5 pts)")
             best_q, best_qb, best_qsec = 0.0, 0, 0.0
-            for b in (128, 96, 64):
+            # 256 first: the int8 peak (1735 img/s vs 1694 @ b128; the
+            # in-between 160/192 dip and the b384 fade are recorded in
+            # PERFORMANCE.md — b512 fails to compile)
+            for b in (256, 128, 96):
                 if _remaining() < 90:
                     break
                 devt, _ = _time_batch(q_forward, q_vars, b)
