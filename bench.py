@@ -73,7 +73,11 @@ V5E_PEAK_BF16 = 197e12
 V5E_PEAK_INT8 = 394e12
 
 _START = time.perf_counter()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+# Warm full runs measure ~1150 s on this runner; 1500 leaves tail margin
+# while staying under plausible external timeouts. Every headline-relevant
+# row lands by ~760 s warm, and the first stdout JSON by ~160 s — an
+# external kill at any later point still leaves a parseable last line.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 
 def _elapsed() -> float:
