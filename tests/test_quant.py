@@ -204,6 +204,38 @@ def test_freeze_requires_calibration(bisenet_quant):
         freeze(cfg, variables)
 
 
+def test_freeze_respects_quant_skip(bisenet_quant):
+    """Skipped convs stay on the bf16 path: no quant_frozen entries for
+    them, and the frozen model still serves equivalently to live int8."""
+    cfg, model, variables, x = bisenet_quant
+    cfg = dataclasses.replace(cfg, quant_skip=("ffm", "layer4"))
+    cal = calibrate(cfg, variables, [x])
+    frozen_vars = freeze(cfg, cal)
+    paths = [
+        "/".join(str(getattr(p, "key", p)) for p in kp)
+        for kp, _ in jax.tree_util.tree_leaves_with_path(
+            frozen_vars["quant_frozen"]
+        )
+    ]
+    assert paths and not any("ffm" in p or "layer4" in p for p in paths)
+    rel, agree = _frozen_vs_int8(cfg, cal, frozen_vars, x)
+    assert agree > 0.99, agree
+
+
+def test_deeplabv2_freeze_serves():
+    cfg = ModelConfig(name="deeplabv2", compute_dtype="float32")
+    model = build_model(cfg)
+    rng = np.random.RandomState(5)
+    variables = init_model(
+        model, jax.random.PRNGKey(0), (1, 64, 128, 3), train=False
+    )
+    x = jnp.asarray(rng.randn(1, 64, 128, 3).astype(np.float32))
+    frozen_vars = freeze(cfg, calibrate(cfg, variables, [x]))
+    out = quantized_model(cfg, frozen=True).apply(frozen_vars, x, False)
+    assert out.shape == (1, 64, 128, 19)
+    assert bool(jnp.isfinite(out).all())
+
+
 def test_quant_modes_share_param_tree(bisenet_quant):
     cfg, model, variables, x = bisenet_quant
     for mode in ("calib", "int8"):
