@@ -55,6 +55,10 @@ def add_common_flags(p: argparse.ArgumentParser, adversarial: bool) -> None:
                         "default 256 — fidelity is essentially "
                         "bin-count-independent, see "
                         "scripts/check_lovasz_bins_accuracy.py).")
+    p.add_argument("--lovasz_interp", type=int, choices=(0, 1), default=None,
+                   help="FG/BG-split within-bucket backward for the binned "
+                        "Lovasz (default 1; grad cosine ~1.0000 vs the "
+                        "exact sort). 0 = r4 bucket-average backward.")
     p.add_argument("--aux_weight", type=float, default=None,
                    help="BiSeNet aux-head CE weight (0 = reference parity; "
                         "the BiSeNet paper uses 1.0).")
@@ -192,7 +196,10 @@ def args_to_config(args: argparse.Namespace, adversarial: bool) -> ExperimentCon
         print_freq_batch=args.print_freq_batch)
     rep("augment", pipeline=args.augmentation)
     rep("loss", use_lovasz=args.use_lovasz, aux_weight=args.aux_weight,
-        lovasz_impl=args.lovasz_impl, lovasz_bins=args.lovasz_bins)
+        lovasz_impl=args.lovasz_impl, lovasz_bins=args.lovasz_bins,
+        lovasz_interp=(
+            None if args.lovasz_interp is None else bool(args.lovasz_interp)
+        ))
     rep("obs", backend=args.log_backend, run_name=args.run_name,
         log_dir=args.log_dir, watch_freq_steps=args.watch_freq_steps,
         upload_checkpoints=args.upload_checkpoints)

@@ -222,6 +222,14 @@ class LossConfig:
     # 'binned' = counting-sort formulation (TPU-fast, ~1e-3 of exact);
     # 'sort' = exact descending-sort parity with the reference.
     lovasz_impl: str = "binned"
+    # FG/BG-split within-bucket backward for the binned Lovász (r5): the
+    # exact per-rank coefficient is bimodal by fg-ness (fg step: 1/U; bg
+    # step: I/U²) and bucket averaging mixes the two — the cause of the old
+    # ~0.94 grad-cosine floor. The split backward evaluates each pixel's
+    # own branch and measures grad cosine 0.99998-1.0000 vs the exact sort
+    # at 256 bins (scripts/check_lovasz_bins_accuracy.py). False restores
+    # the r4 bucket-average backward.
+    lovasz_interp: bool = True
     # 256 bins: measured on v5e this is ~6% faster per flagship step than
     # 1024 (scripts/bench_deeplab_scaling_and_bins.py: 108.1 vs 114.7 ms)
     # while the accuracy study shows bin count barely moves fidelity —

@@ -246,40 +246,71 @@ def _hist_pallas(probas_t, labels, bins, ignore, pmesh, data_axis):
     )(probas_t, labels)
 
 
-def _bwd_pallas(probas_t, labels, coef, bins, ignore, pmesh, data_axis):
+def _bwd_pallas(probas_t, labels, coef, bins, ignore, pmesh, data_axis,
+                interp=False):
     """Pallas radix backward, per-shard when pixels are sharded.
 
-    The gradient is pointwise given the (replicated) global coef table, so
-    no collective is needed — each shard produces its pixel columns."""
+    The gradient is pointwise given the (replicated) global coef table(s),
+    so no collective is needed — each shard produces its pixel columns."""
     from .pallas_lovasz import lovasz_radix_bwd
 
     _, interpret = _use_pallas()
     if not _pixel_sharded(pmesh, data_axis):
         return lovasz_radix_bwd(
-            probas_t, labels, coef, bins, ignore, interpret=interpret
+            probas_t, labels, coef, bins, ignore, interp=interp,
+            interpret=interpret,
         )
     from jax.sharding import PartitionSpec as P
 
     def local(p, l, ct):
-        return lovasz_radix_bwd(p, l, ct, bins, ignore, interpret=interpret)
+        return lovasz_radix_bwd(
+            p, l, ct, bins, ignore, interp=interp, interpret=interpret
+        )
 
+    coef_spec = P(*(None,) * coef.ndim)
     return jax.shard_map(
         local,
         mesh=pmesh,
-        in_specs=(P(None, data_axis), P(data_axis), P(None, None)),
+        in_specs=(P(None, data_axis), P(data_axis), coef_spec),
         out_specs=P(None, data_axis),
         check_vma=False,  # pallas outputs carry no vma info
     )(probas_t, labels, coef)
 
 
 def _binned_lovasz_forward(
-    probas, labels, ignore_index, classes, bins, pmesh=None, data_axis="data"
+    probas, labels, ignore_index, classes, bins, pmesh=None, data_axis="data",
+    interp=False,
 ):
-    """Per-class counting-sort Lovász: returns (loss, coef_table, present).
+    """Per-class counting-sort Lovász: returns (loss, tables, present).
 
-    coef_table[c, k] is dL_c/d(error of a pixel of class-c in bucket k)
+    ``interp=False``: tables is coef_table (C, bins), where coef_table[c, k]
+    is dL_c/d(error of a pixel of class-c in bucket k)
     = DeltaJaccard(bucket)/count(bucket) — the bucket-averaged Lovász
     gradient used by the custom backward.
+
+    ``interp=True``: tables is (C, 4, bins) holding (T1, T2, T3, T4) per
+    bucket for the FG/BG-SPLIT within-bucket backward. Measured anatomy of
+    the ~0.94 grad-cosine floor (round 5; not bucket width — 128 to 1024
+    bins barely moves it, and not sort ties — a tie-averaged exact oracle
+    has cosine 1.000 with the exact sort): the exact per-rank Lovász
+    coefficient is BIMODAL BY FG-NESS. A descending step onto a foreground
+    pixel moves intersection and both cumulative terms of the union
+    together, giving ΔJ = 1/U; a step onto a background pixel only grows
+    the union, giving ΔJ = I/(U(U+1)) — smaller by the factor I/U < 1. The
+    bucket average ΔJ/n mixes the two populations, and that mixing error is
+    bin-width-independent because fg and bg errors overlap densely. The
+    backward, however, KNOWS each pixel's fg-ness — so the refined tables
+    carry the bucket-edge cumulative state and each pixel evaluates its own
+    branch at its fractional within-bucket error position t ∈ [0, 1]
+    (uniform-mixing continuum: I(t) = I0 - f·t, U(t) = U0 + (n-f)·t):
+
+        coef_fg(t) = 1 / U(t)        = T1 / (1 + T2·t)
+        coef_bg(t) = I(t) / U(t)²    = T1·(T3 - T4·t) / (1 + T2·t)²
+
+    with T1 = 1/U0 (present mask + cotangent fold here), T2 = (n-f)/U0,
+    T3 = I0/U0, T4 = f/U0. Degenerate buckets (n == 0, or U0 == 0 — the
+    absent-class first-bucket delta under the baseline-0 convention) fall
+    back to the averaged coefficient via (T1=ΔJ/n, T2=0, T3=1, T4=0).
 
     Histogram producer: a fused single-pass Pallas kernel on TPU
     (``pallas_lovasz.lovasz_radix_hist``) that reads the probability matrix
@@ -342,18 +373,37 @@ def _binned_lovasz_forward(
         present = jnp.ones_like(loss_c)
     loss_sum = (loss_c * present).sum()
     present_cnt = present.sum()
-    # ascending bucket order so coef_table[c, b] indexes by raw bucket id
-    coef_table = coef_desc[:, ::-1] * present[:, None]
     loss = jnp.where(
         present_cnt > 0, loss_sum / jnp.maximum(present_cnt, 1.0), 0.0
     )
+    if interp:
+        # FG/BG-split within-bucket tables (docstring math): exclusive
+        # descending cumulatives at each bucket's high-error edge.
+        cn0 = cn - n
+        cf0 = cf - f
+        i0 = gts - cf0
+        u0 = cn0 - cf0 + gts
+        d = n - f
+        ok = (n > 0) & (u0 > 0)
+        u0s = jnp.maximum(u0, 1.0)
+        t1 = jnp.where(ok, 1.0 / u0s, coef_desc)
+        t2 = jnp.where(ok, d / u0s, 0.0)
+        t3 = jnp.where(ok, i0 / u0s, 1.0)
+        t4 = jnp.where(ok, f / u0s, 0.0)
+        tables = jnp.stack(
+            [t1[:, ::-1] * present[:, None], t2[:, ::-1],
+             t3[:, ::-1], t4[:, ::-1]], axis=1
+        )  # (C, 4, bins), ascending bucket order
+        return loss, tables, present_cnt
+    # ascending bucket order so coef_table[c, b] indexes by raw bucket id
+    coef_table = coef_desc[:, ::-1] * present[:, None]
     return loss, coef_table, present_cnt
 
 
 import functools as _functools
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def lovasz_softmax_binned(
     probas: jnp.ndarray,
     labels: jnp.ndarray,
@@ -362,6 +412,7 @@ def lovasz_softmax_binned(
     bins: int = 256,
     pmesh=None,
     data_axis: str = "data",
+    interp: bool = True,
 ) -> jnp.ndarray:
     """Lovász-Softmax via counting sort — the TPU-fast formulation.
 
@@ -385,26 +436,32 @@ def lovasz_softmax_binned(
     default 256 trades nothing measurable for ~6% of flagship step time vs
     1024 (v5e, scripts/bench_deeplab_scaling_and_bins.py).
 
-    Gradient (custom VJP): dL/de of a pixel is its bucket's DeltaJaccard /
-    count — the exact Lovász gradient averaged over the bucket's rank span —
-    realized as a 1024-entry table gather per pixel, then the analytic
-    de/dp = (1 - 2*fg) chain. No sort, no GEMM, no large residuals in the
-    backward.
+    Gradient (custom VJP): dL/de of a pixel comes from a per-bucket table —
+    with ``interp=True`` (default) the FG/BG-SPLIT within-bucket form
+    (fg: T1/(1+T2·t); bg: T1·(T3-T4·t)/(1+T2·t)²) evaluated at the pixel's
+    fractional error position t inside its bucket, which removes the
+    dominant binning-gradient error (the exact coefficient is bimodal by
+    fg-ness — see ``_binned_lovasz_forward``); with ``interp=False`` the
+    bucket's DeltaJaccard/count average — then the analytic
+    de/dp = (1 - 2*fg) chain. Either way the lookup is a radix bilinear
+    form: no sort, no scatter, no large residuals in the backward.
     """
     loss, _, _ = _binned_lovasz_forward(
-        probas, labels, ignore_index, classes, bins, pmesh, data_axis
+        probas, labels, ignore_index, classes, bins, pmesh, data_axis, interp
     )
     return loss
 
 
-def _binned_fwd(probas, labels, ignore_index, classes, bins, pmesh, data_axis):
-    loss, coef_table, present_cnt = _binned_lovasz_forward(
-        probas, labels, ignore_index, classes, bins, pmesh, data_axis
+def _binned_fwd(
+    probas, labels, ignore_index, classes, bins, pmesh, data_axis, interp
+):
+    loss, tables, present_cnt = _binned_lovasz_forward(
+        probas, labels, ignore_index, classes, bins, pmesh, data_axis, interp
     )
-    return loss, (probas, labels, coef_table, present_cnt)
+    return loss, (probas, labels, tables, present_cnt)
 
 
-def _binned_bwd(ignore_index, classes, bins, pmesh, data_axis, res, g):
+def _binned_bwd(ignore_index, classes, bins, pmesh, data_axis, interp, res, g):
     probas, labels, coef_table, present_cnt = res
     shape = probas.shape
     num_classes = shape[-1]
@@ -416,6 +473,15 @@ def _binned_bwd(ignore_index, classes, bins, pmesh, data_axis, res, g):
         valid = jnp.ones_like(labels2, dtype=bool)
     validf = valid.astype(jnp.float32)
     scale = jnp.where(present_cnt > 0, g / jnp.maximum(present_cnt, 1.0), 0.0)
+    if interp:
+        # fold cotangent + normalization into the T1 row only (both branch
+        # coefficients are linear in T1; T2-T4 are pure geometry terms)
+        one = jnp.ones_like(scale)
+        coef_table = coef_table * jnp.stack(
+            [scale, one, one, one]
+        ).reshape(1, 4, 1)
+    else:
+        coef_table = coef_table * scale
     if _use_pallas()[0]:
         # Fused Pallas backward: per-chunk bilinear radix lookup + chain,
         # no (k?, P) HBM intermediates (pallas_lovasz.lovasz_radix_bwd) —
@@ -424,11 +490,12 @@ def _binned_bwd(ignore_index, classes, bins, pmesh, data_axis, res, g):
         cols = _bwd_pallas(
             probas_t,
             labels2,
-            coef_table * scale,
+            coef_table,
             bins,
             ignore_index if ignore_index is not None else -1,
             pmesh,
             data_axis,
+            interp,
         )
         dprobas = cols.T.reshape(shape).astype(probas.dtype)
         return dprobas, jnp.zeros(labels.shape, dtype=jax.dtypes.float0)
@@ -440,7 +507,8 @@ def _binned_bwd(ignore_index, classes, bins, pmesh, data_axis, res, g):
         p_c = probas_t[c]
         fg = (labels2 == c).astype(jnp.float32) * validf
         e = jnp.abs(fg - p_c) * validf
-        b = jnp.clip((e * bins).astype(jnp.int32), 0, bins - 1)
+        bqf = e * bins
+        b = jnp.clip(bqf.astype(jnp.int32), 0, bins - 1)
         b = jnp.where(valid, b, -1)
         # Radix coef lookup, no per-pixel gathers: coef[c1, c2] realized as
         # the bilinear form oh1 @ coef_matrix selected by oh2 — a (k2, k1) x
@@ -449,15 +517,39 @@ def _binned_bwd(ignore_index, classes, bins, pmesh, data_axis, res, g):
         c2 = b % k2
         oh1 = (c1[None, :] == iota1[:, None]).astype(jnp.bfloat16)  # (k1,P)
         oh2 = (c2[None, :] == iota2[:, None]).astype(jnp.bfloat16)  # (k2,P)
-        coef_mat = coef_table[c].reshape(k1, k2).astype(jnp.bfloat16)
-        tmp = jax.lax.dot_general(
-            coef_mat.T, oh1,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (k2, P)
-        coef = (tmp * oh2).sum(axis=0)
+        if interp:
+            # one dot fetches all four tables: column blocks of k2 each
+            mats = (
+                coef_table[c].reshape(4, k1, k2)
+                .transpose(1, 0, 2).reshape(k1, 4 * k2)
+                .astype(jnp.bfloat16)
+            )
+            tmp = jax.lax.dot_general(
+                mats.T, oh1,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (4*k2, P)
+            t1 = (tmp[:k2] * oh2).sum(axis=0)
+            t2 = (tmp[k2:2 * k2] * oh2).sum(axis=0)
+            t3 = (tmp[2 * k2:3 * k2] * oh2).sum(axis=0)
+            t4 = (tmp[3 * k2:] * oh2).sum(axis=0)
+            # fractional position inside the bucket's DESCENDING rank span:
+            # t = 0 at the bucket's high-error edge, 1 at the low edge
+            t = jnp.clip(b.astype(jnp.float32) + 1.0 - bqf, 0.0, 1.0)
+            den = 1.0 + t2 * t
+            coef = jnp.where(
+                fg > 0, t1 / den, t1 * (t3 - t4 * t) / jnp.square(den)
+            )
+        else:
+            coef_mat = coef_table[c].reshape(k1, k2).astype(jnp.bfloat16)
+            tmp = jax.lax.dot_general(
+                coef_mat.T, oh1,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (k2, P)
+            coef = (tmp * oh2).sum(axis=0)
         # de/dp = (1 - 2*fg): e = 1-p on foreground, e = p elsewhere
-        return None, coef * (1.0 - 2.0 * fg) * scale
+        return None, coef * (1.0 - 2.0 * fg)
 
     _, cols = jax.lax.scan(per_class, None, jnp.arange(num_classes))
     dprobas = cols.T.reshape(shape).astype(probas.dtype)

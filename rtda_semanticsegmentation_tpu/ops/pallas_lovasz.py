@@ -146,21 +146,27 @@ def lovasz_radix_hist(
 def _bwd_kernel(
     probas_ref,  # (C, T) f32 VMEM block
     labels_ref,  # (1, T) i32 VMEM block
-    coef_ref,  # (C * k1, k2) f32 VMEM (same block all steps)
+    coef_ref,  # (C * k1, n_tab * k2) f32 VMEM (same block all steps)
     out_ref,  # (C, T) f32 VMEM block
     *,
     num_classes: int,
     k1: int,
     k2: int,
     ignore_index: int,
+    interp: bool,
 ):
     """d(loss)/d(probas) for the binned Lovász, fused per chunk.
 
-    Per pixel of class row c: coef = coef_table[c, bucket(c, pixel)] looked
-    up as the bilinear form oh1^T · coef_mat · oh2 (two lane-major small
-    dots — see PERFORMANCE.md item 13), then the analytic chain
-    de/dp = (1 - 2*fg). The caller folds the upstream cotangent and the
-    1/present_count normalization into ``coef_table``.
+    Per pixel of class row c: the per-bucket table row(s) are looked up as
+    the bilinear form oh1^T · coef_mat · oh2 (two lane-major small dots —
+    see PERFORMANCE.md item 13), then the analytic chain de/dp = (1-2*fg).
+    ``interp=False``: one table, the bucket-average coefficient.
+    ``interp=True``: four tables (T1..T4) laid out as k2-wide column
+    blocks; each pixel evaluates its fg/bg branch of the split coefficient
+    T1/(1+T2·t) (fg) or T1·(T3-T4·t)/(1+T2·t)² (bg) at its fractional
+    within-bucket error position t (``losses._binned_lovasz_forward``
+    docstring). The caller folds the upstream cotangent and the
+    1/present_count normalization into the T1 table.
     """
     bins = k1 * k2
     labels = labels_ref[0, :]
@@ -173,7 +179,8 @@ def _bwd_kernel(
         p_c = probas_ref[c, :]
         fg = (labels == c).astype(jnp.float32)
         e = jnp.abs(fg - p_c)
-        b = jnp.clip((e * bins).astype(jnp.int32), 0, bins - 1)
+        bqf = e * bins
+        b = jnp.clip(bqf.astype(jnp.int32), 0, bins - 1)
         c1 = jnp.where(valid, b // k2, -1)  # -1: invalid pixels get coef 0
         c2 = b % k2
         oh1 = (c1[None, :] == rows1).astype(jnp.bfloat16)  # (k1, T)
@@ -183,8 +190,20 @@ def _bwd_kernel(
             coef_mat, oh1,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (k2, T)
-        coef = jnp.sum(tmp * oh2.astype(jnp.float32), axis=0)  # (T,)
+        )  # (n_tab * k2, T)
+        oh2f = oh2.astype(jnp.float32)
+        if interp:
+            t1 = jnp.sum(tmp[:k2] * oh2f, axis=0)  # (T,)
+            t2 = jnp.sum(tmp[k2:2 * k2] * oh2f, axis=0)
+            t3 = jnp.sum(tmp[2 * k2:3 * k2] * oh2f, axis=0)
+            t4 = jnp.sum(tmp[3 * k2:] * oh2f, axis=0)
+            frac = jnp.clip(b.astype(jnp.float32) + 1.0 - bqf, 0.0, 1.0)
+            den = 1.0 + t2 * frac
+            coef = jnp.where(
+                fg > 0, t1 / den, t1 * (t3 - t4 * frac) / (den * den)
+            )
+        else:
+            coef = jnp.sum(tmp * oh2f, axis=0)  # (T,)
         out_ref[c, :] = coef * (1.0 - 2.0 * fg)
         return _
 
@@ -192,18 +211,26 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bins", "ignore_index", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("bins", "ignore_index", "chunk", "interp", "interpret"),
 )
 def lovasz_radix_bwd(
     probas_t: jnp.ndarray,  # (C, P) f32
     labels: jnp.ndarray,  # (P,) i32
-    coef_table: jnp.ndarray,  # (C, bins) f32, cotangent+normalization folded
+    coef_table: jnp.ndarray,  # (C, bins) or (C, 4, bins) f32 (see below)
     bins: int = 1024,
     ignore_index: int = 255,
     chunk: int = DEFAULT_CHUNK,
+    interp: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(C, P) f32 gradient of the binned Lovász w.r.t. probas_t."""
+    """(C, P) f32 gradient of the binned Lovász w.r.t. probas_t.
+
+    ``interp=False``: ``coef_table`` is (C, bins) bucket-average
+    coefficients, cotangent+normalization folded in. ``interp=True``:
+    (C, 2, bins) holding (A, rho) per bucket — cotangent folded into A —
+    for the within-bucket interpolated coefficient A/(1 + rho*t)².
+    """
     from .losses import _radix_factors
 
     num_classes, p = probas_t.shape
@@ -221,7 +248,19 @@ def lovasz_radix_bwd(
         k1=k1,
         k2=k2,
         ignore_index=ignore_index,
+        interp=interp,
     )
+    if interp:
+        # (C, 4, bins) -> (C*k1, 4*k2): per class-row block, k2-wide column
+        # blocks T1..T4, so ONE dot fetches all four tables
+        tab = (
+            coef_table.reshape(num_classes, 4, k1, k2)
+            .transpose(0, 2, 1, 3)
+            .reshape(num_classes * k1, 4 * k2)
+        )
+    else:
+        tab = coef_table.reshape(num_classes * k1, k2)
+    n_tab = 4 if interp else 1
     out = pl.pallas_call(
         kernel,
         grid=(total // chunk,),
@@ -231,7 +270,9 @@ def lovasz_radix_bwd(
             ),
             pl.BlockSpec((1, chunk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (num_classes * k1, k2), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (num_classes * k1, n_tab * k2),
+                lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -242,6 +283,6 @@ def lovasz_radix_bwd(
     )(
         probas_t.astype(jnp.float32),
         labels.reshape(1, -1).astype(jnp.int32),
-        coef_table.reshape(num_classes * k1, k2).astype(jnp.float32),
+        tab.astype(jnp.float32),
     )
     return out[:, :p]

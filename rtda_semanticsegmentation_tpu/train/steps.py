@@ -163,6 +163,7 @@ def _seg_loss(
                 bins=cfg.loss.lovasz_bins,
                 pmesh=None if mesh_ctx is None else mesh_ctx.mesh,
                 data_axis="data" if mesh_ctx is None else mesh_ctx.data_axis,
+                interp=cfg.loss.lovasz_interp,
             )
         else:
             lov = lovasz_softmax(probas, labels, cfg.loss.ignore_index)

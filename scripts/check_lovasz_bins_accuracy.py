@@ -12,6 +12,16 @@ So the bins knob trades TPU histogram time (k1+k2 = 2*sqrt(bins) compares
 per pixel) against essentially nothing — see the TPU speed half in
 bench_deeplab_scaling_and_bins.py before changing the 1024 default.
 
+FINDING 2 (round 5): the floor's anatomy was localized — it is NOT bucket
+width (above), NOT sort tie-breaking (a tie-averaged exact oracle has
+cosine 1.000 with the exact sort), but the FG/BG MIX inside each bucket:
+the exact per-rank coefficient is bimodal by fg-ness (a fg step gives
+ΔJ = 1/U, a bg step I/(U(U+1))) and the bucket average blends the two
+populations — a bin-width-independent error because fg and bg errors
+overlap densely. The split backward (``lovasz_interp=True``, default)
+evaluates each pixel's own branch from four per-bucket tables and reaches
+grad cosine 0.99998-1.0000 vs the exact sort in every regime below.
+
 Run: PYTHONPATH=/root/repo python scripts/check_lovasz_bins_accuracy.py
 """
 import os
@@ -48,11 +58,17 @@ for seed, sharp in [(0, 2.0), (1, 2.0), (2, 5.0), (3, 0.5)]:
     g_exact = np.asarray(grads(lambda p, l: lovasz_softmax(p, l), probas, labels)).ravel()
     for bins in (1024, 512, 256, 128):
         v = float(lovasz_softmax_binned(probas, labels, bins=bins))
-        g = np.asarray(grads(lambda p, l, b=bins: lovasz_softmax_binned(p, l, bins=b), probas, labels)).ravel()
-        cos = float(np.dot(g, g_exact) / (np.linalg.norm(g) * np.linalg.norm(g_exact) + 1e-30))
-        rows.append((seed, sharp, bins, exact, v, abs(v - exact), cos))
+        cs = {}
+        for interp in (False, True):
+            g = np.asarray(grads(
+                lambda p, l, b=bins, i=interp: lovasz_softmax_binned(
+                    p, l, bins=b, interp=i), probas, labels)).ravel()
+            cs[interp] = float(np.dot(g, g_exact) / (
+                np.linalg.norm(g) * np.linalg.norm(g_exact) + 1e-30))
+        rows.append((seed, sharp, bins, exact, v, abs(v - exact), cs[True]))
         print(f"seed={seed} sharp={sharp} bins={bins:5d}: exact={exact:.5f} binned={v:.5f} "
-              f"|d|={abs(v-exact):.2e} grad_cos={cos:.4f}", flush=True)
+              f"|d|={abs(v-exact):.2e} grad_cos avg={cs[False]:.4f} "
+              f"split={cs[True]:.5f}", flush=True)
 import collections
 agg = collections.defaultdict(list)
 for r in rows:

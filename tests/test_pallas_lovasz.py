@@ -110,7 +110,9 @@ def test_binned_grad_tpu_path_matches_xla_path():
 
     # XLA-path gradient (CPU backend dispatch)
     g_xla = jax.grad(
-        lambda p: L.lovasz_softmax_binned(p, lbl, 255, "present", bins)
+        lambda p: L.lovasz_softmax_binned(
+            p, lbl, 255, "present", bins, interp=False
+        )
     )(probas)
 
     # Pallas-path gradient assembled manually from the shared forward
@@ -127,3 +129,37 @@ def test_binned_grad_tpu_path_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(g_pallas), np.asarray(g_xla), rtol=5e-2, atol=1e-6
     )
+
+
+def test_binned_grad_split_backward_pallas_matches_xla():
+    """The fg/bg-split (interp=True) backward: Pallas 4-table kernel ==
+    XLA scan path, exercised end-to-end through the losses dispatch via
+    FORCE_PALLAS_INTERPRET."""
+    import jax
+
+    from rtda_semanticsegmentation_tpu.ops import losses as L
+
+    rng = np.random.RandomState(3)
+    B, H, W, C, bins = 2, 16, 24, 19, 256
+    logits = rng.randn(B, H, W, C).astype(np.float32) * 3
+    labels = rng.randint(0, C, (B, H, W)).astype(np.int32)
+    labels[:, 0] = 255
+    probas = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    lbl = jnp.asarray(labels)
+
+    def grad():
+        return np.asarray(
+            jax.grad(
+                lambda p: L.lovasz_softmax_binned(
+                    p, lbl, 255, "present", bins, interp=True
+                )
+            )(probas)
+        )
+
+    g_xla = grad()
+    L.FORCE_PALLAS_INTERPRET = True
+    try:
+        g_pallas = grad()
+    finally:
+        L.FORCE_PALLAS_INTERPRET = False
+    np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-5, atol=1e-8)
