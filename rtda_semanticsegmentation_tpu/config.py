@@ -50,15 +50,18 @@ class AugmentConfig:
     # ImageNet normalization (reference config.py:128-130)
     norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
-    # Compute dtype of the stochastic per-image ops inside augment_batch
-    # (statistics reductions stay f32; ISONoise's hue math stays f32).
-    # bfloat16 halves the pipeline's HBM traffic — the b32 step's aug cost
-    # is bandwidth, not flops (PERFORMANCE.md) — and its 2^-8 relative
-    # rounding sits at the same grid as the reference's own albumentations
-    # math, which runs on uint8 images (1/255 steps) BEFORE normalization
-    # (reference config.py:204-214: ColorJitter/ISONoise/CoarseDropout
-    # precede A.Normalize). f32 restores bit-level headroom if wanted.
-    aug_dtype: str = "bfloat16"
+    # Storage dtype of the stochastic per-image chain inside augment_batch
+    # (per-op math always runs in f32 on [0,1]; statistics reductions and
+    # ISONoise interiors stay f32 in every mode). The pipeline is
+    # HBM-bandwidth-bound, not flops-bound (PERFORMANCE.md), so narrower
+    # inter-op buffers are faster: 'float32' > 'bfloat16' (r4 default,
+    # halves traffic) > 'uint8' (r5: halves it again AND is the most
+    # reference-faithful — the reference's albumentations transforms are
+    # uint8-in/uint8-out with 1/255 steps BEFORE normalization, reference
+    # config.py:204-214, so the u8 chain quantizes exactly where the
+    # reference does). Behavior note: each dtype is a different numerical
+    # pipeline; fixed-seed draws differ across settings (docs/MIGRATING.md).
+    aug_dtype: str = "uint8"
 
     @property
     def flags(self) -> Tuple[bool, bool, bool, bool]:

@@ -57,7 +57,11 @@ def calibrate(
     return variables
 
 
-def freeze(model_cfg: ModelConfig, variables: dict) -> dict:
+def freeze(
+    model_cfg: ModelConfig,
+    variables: dict,
+    input_shape: tuple = (1, 64, 128, 3),
+) -> dict:
     """Precompute the int8 serving constants from calibrated ``variables``.
 
     Returns ``variables`` + a ``quant_frozen`` collection (per-conv s8
@@ -67,15 +71,18 @@ def freeze(model_cfg: ModelConfig, variables: dict) -> dict:
     serving time, BENCH r4) runs exactly once here. Serve with
     ``quantized_model(cfg, frozen=True)``.
 
-    The driving input is a tiny dummy — the frozen constants depend only on
-    params and calibrated stats, never on the input values or resolution.
+    ``input_shape`` drives one tiny tracing forward — the frozen constants
+    depend only on params and calibrated stats, never on the input values
+    or resolution. The default assumes the model zoo's 3-channel RGB input
+    and a spatial size divisible by every model stride (64x128 covers
+    both families); pass a matching shape for any variant that differs.
     """
     if "quant_stats" not in variables:
         raise ValueError("freeze() needs calibrated variables (quant_stats)")
     model_f = build_model(dataclasses.replace(model_cfg, quant="freeze"))
     _, muts = model_f.apply(
         variables,
-        jnp.zeros((1, 64, 128, 3), jnp.bfloat16),
+        jnp.zeros(input_shape, jnp.bfloat16),
         False,
         mutable=["quant_frozen"],
     )

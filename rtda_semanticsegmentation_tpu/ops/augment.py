@@ -69,8 +69,8 @@ def color_jitter(
     img: jnp.ndarray, key: jax.Array, cfg: AugmentConfig
 ) -> jnp.ndarray:
     """torchvision/albumentations-style ColorJitter on one (H, W, 3) image
-    in [0, 1]: the 4 sub-ops run in a uniformly random order with factors
-    drawn from the configured ranges.
+    in [0, 1] (float) or [0, 255] (uint8): the 4 sub-ops run in a uniformly
+    random order with factors drawn from the configured ranges.
 
     Structure: under ``vmap`` a ``lax.switch`` evaluates EVERY branch for
     every image anyway, so each of the 4 sequential steps computes all four
@@ -80,8 +80,15 @@ def color_jitter(
     per-op with less duplicate work (A/B in PERFORMANCE.md). The sequential
     dependency itself is irreducible: torchvision's contrast blends with
     the mean gray of the CURRENT intermediate, so each step carries a
-    reduction barrier."""
-    dt = img.dtype
+    reduction barrier.
+
+    uint8 input: each sequential step materializes uint8 (half the HBM
+    traffic of the bf16 chain again; the fori_loop carry IS the
+    inter-step barrier buffer) with the step math in f32 on [0, 1] —
+    exactly albumentations' own structure, where every transform consumes
+    and produces uint8 images (reference ``config.py:204-214``)."""
+    u8 = img.dtype == jnp.uint8
+    dt = jnp.float32 if u8 else img.dtype
     k_ord, k_b, k_c, k_s, k_h = jax.random.split(key, 5)
     fb = jax.random.uniform(
         k_b, minval=1.0 - cfg.cj_brightness, maxval=1.0 + cfg.cj_brightness
@@ -96,15 +103,20 @@ def color_jitter(
     order = jax.random.permutation(k_ord, 4)
 
     def apply_op(i, im):
+        if u8:
+            im = im.astype(jnp.float32) / 255.0
         gray = im @ jnp.asarray(_GRAY_WEIGHTS, im.dtype)
         mean = jnp.mean(gray, dtype=jnp.float32).astype(im.dtype)
-        return jax.lax.select_n(
+        out = jax.lax.select_n(
             order[i],
             _brightness(im, fb),
             _blend(im, jnp.full_like(im, mean), fc),          # contrast
             _blend(im, jnp.broadcast_to(gray[..., None], im.shape), fs),
             _hue(im, fh),
         )
+        if u8:
+            out = jnp.round(out * 255.0).astype(jnp.uint8)
+        return out
 
     return jax.lax.fori_loop(0, 4, apply_op, img)
 
@@ -136,15 +148,20 @@ def _poisson_approx(key: jax.Array, lam, shape) -> jnp.ndarray:
 def iso_noise(
     img: jnp.ndarray, key: jax.Array, cfg: AugmentConfig
 ) -> jnp.ndarray:
-    """albumentations ISONoise on one (H, W, 3) image in [0, 1]:
+    """albumentations ISONoise on one (H, W, 3) image in [0, 1] (float) or
+    [0, 255] (uint8):
     L += Poisson(std(L) * intensity * 255)/255 * (1 - L);
     H += Normal(0, color_shift * 360 * intensity) degrees.
 
     Interior math runs in f32 whatever the pipeline dtype: the hue NOISE
     sigma goes down to ~0.4 degrees — below bf16's ~2-degree H resolution —
-    and the L-channel std feeds the Poisson rate."""
+    and the L-channel std feeds the Poisson rate. A uint8 input rounds back
+    to uint8 (albumentations' own u8-in/u8-out contract)."""
     dt = img.dtype
+    u8 = dt == jnp.uint8
     img = img.astype(jnp.float32)
+    if u8:
+        img = img / 255.0
     k_i, k_c, k_pois, k_norm = jax.random.split(key, 4)
     intensity = jax.random.uniform(
         k_i, minval=cfg.iso_intensity[0], maxval=cfg.iso_intensity[1]
@@ -162,7 +179,10 @@ def iso_noise(
     h = (hls[..., 0] + color_noise) % 360.0
     l = jnp.clip(hls[..., 1] + (pois / 255.0) * (1.0 - hls[..., 1]), 0.0, 1.0)
     out = hls_to_rgb(jnp.stack([h, l, hls[..., 2]], axis=-1))
-    return jnp.clip(out, 0.0, 1.0).astype(dt)
+    out = jnp.clip(out, 0.0, 1.0)
+    if u8:
+        return jnp.round(out * 255.0).astype(jnp.uint8)
+    return out.astype(dt)
 
 
 def coarse_dropout(
@@ -199,7 +219,10 @@ def coarse_dropout(
         & (cols[None] >= x1[:, None, None])
         & (cols[None] < (x1 + ww)[:, None, None])
     ).any(axis=0)
-    return jnp.where(inside[..., None], jnp.asarray(cfg.cd_fill, img.dtype), img)
+    fill = (
+        round(cfg.cd_fill * 255.0) if img.dtype == jnp.uint8 else cfg.cd_fill
+    )
+    return jnp.where(inside[..., None], jnp.asarray(fill, img.dtype), img)
 
 
 def _maybe(key, p, fn, img):
@@ -250,8 +273,6 @@ def augment_batch(
         )
         labels = jnp.where(flip[:, None, None], labels[:, :, ::-1], labels)
 
-    imgs = images_u8.astype(jnp.float32) / 255.0
-
     def per_image(img, k):
         k1, k2, k3 = jax.random.split(k, 3)
         if cj:
@@ -267,12 +288,23 @@ def augment_batch(
 
     if cj or iso or cd:
         keys = jax.random.split(jax.random.fold_in(key, 1), b)
-        # The stochastic chain runs in cfg.aug_dtype (default bf16 — the
+        # The stochastic chain runs in cfg.aug_dtype (default uint8 — the
         # pipeline is HBM-bandwidth-bound and the reference's albumentations
-        # math runs on uint8 anyway; see AugmentConfig.aug_dtype). Stats
-        # reductions and ISONoise interiors stay f32; the no-op and
-        # hflip-only paths stay exact f32.
+        # transforms are uint8-in/uint8-out anyway, so the u8 chain is the
+        # most reference-faithful AND the cheapest; see
+        # AugmentConfig.aug_dtype). Per-op math runs in f32 on [0, 1];
+        # stats reductions and ISONoise interiors stay f32 in every mode;
+        # the no-op and hflip-only paths stay exact f32.
         dt = jnp.dtype(cfg.aug_dtype)
-        imgs = jax.vmap(per_image)(imgs.astype(dt), keys).astype(jnp.float32)
+        if dt == jnp.uint8:
+            imgs = jax.vmap(per_image)(images_u8, keys)
+            imgs = imgs.astype(jnp.float32) / 255.0
+        else:
+            imgs = images_u8.astype(jnp.float32) / 255.0
+            imgs = jax.vmap(per_image)(imgs.astype(dt), keys).astype(
+                jnp.float32
+            )
+    else:
+        imgs = images_u8.astype(jnp.float32) / 255.0
 
     return normalize(imgs, cfg), labels

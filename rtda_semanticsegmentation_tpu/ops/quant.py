@@ -179,6 +179,32 @@ def freeze_weights(
     return wq, sw, zp * sw + bias_corr
 
 
+def quantize_act_unsigned(x: jnp.ndarray, in_absmax: jnp.ndarray) -> jnp.ndarray:
+    """Value -> s8 codes on the unsigned grid (zero-point at code -127).
+
+    ``q = round(x / s) - 127`` with ``s = m/254`` — requires x >= 0
+    (negatives clamp to the zero code)."""
+    sx = act_scale(in_absmax, unsigned=True)
+    q = jnp.round(x.astype(jnp.float32) / sx) - 127.0
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def pad_zero_code(xq: jnp.ndarray, padding) -> jnp.ndarray:
+    """Spatially pad s8 codes with the unsigned grid's zero code (-127)."""
+    if isinstance(padding, str):
+        raise ValueError(
+            "unsigned int8 conv needs explicit padding tuples (the pad "
+            f"value is the zero code), got {padding!r}"
+        )
+    if any(p != 0 for pair in padding for p in pair):
+        xq = jnp.pad(
+            xq,
+            ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0)),
+            constant_values=np.int8(-127),
+        )
+    return xq
+
+
 def int8_conv_frozen(
     x: jnp.ndarray,
     wq: jnp.ndarray,
@@ -194,21 +220,9 @@ def int8_conv_frozen(
 
     Only the activation quantize/pad runs per forward; the weight-space
     work was folded into ``(wq, sw, c)`` at freeze time. Bit-identical
-    math to ``int8_conv(..., unsigned=True, in_mean=...)``."""
-    if isinstance(padding, str):
-        raise ValueError(
-            "unsigned int8 conv needs explicit padding tuples (the pad "
-            f"value is the zero code), got {padding!r}"
-        )
-    sx = act_scale(in_absmax, unsigned=True)
-    q = jnp.round(x.astype(jnp.float32) / sx) - 127.0
-    xq = jnp.clip(q, -127, 127).astype(jnp.int8)
-    if any(p != 0 for pair in padding for p in pair):
-        xq = jnp.pad(
-            xq,
-            ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0)),
-            constant_values=np.int8(-127),
-        )
+    math to ``int8_conv(..., unsigned=True, in_mean=...)`` (which calls
+    this same core against freshly-computed constants)."""
+    xq = pad_zero_code(quantize_act_unsigned(x, in_absmax), padding)
     y = jax.lax.conv_general_dilated(
         xq,
         wq,
@@ -254,12 +268,25 @@ def int8_conv(
     ``sum(E[x/s] * (w_folded - wq*sw))`` per output channel after
     dequantization.
     """
-    sx = act_scale(in_absmax, unsigned=unsigned)
+    if unsigned:
+        # Identical math to the frozen path — literally the same code:
+        # fold/quantize/zero-point/bias-correct via freeze_weights, then
+        # the shared frozen conv core. An in_mean of zeros makes the bias
+        # correction exactly 0 (the einsum contracts against it).
+        zero_mean = jnp.zeros((kernel.shape[2],), jnp.float32)
+        wq, sw, c = freeze_weights(
+            kernel, in_absmax, zero_mean if in_mean is None else in_mean
+        )
+        return int8_conv_frozen(
+            x, wq, sw, c, in_absmax, strides, padding,
+            dilation=dilation, out_dtype=out_dtype,
+        )
+
+    sx = act_scale(in_absmax, unsigned=False)
     folded = kernel.astype(jnp.float32) * (
         sx if sx.ndim == 0 else sx[None, None, :, None]
     )
     wq, sw = quantize_weight(folded)
-
     bias_corr = None
     if in_mean is not None:
         r_mean = jnp.broadcast_to(
@@ -269,48 +296,17 @@ def int8_conv(
         # (kh, kw, ci, co) x (ci,) -> (co,): expected per-output-channel
         # shift from weight rounding, in output units
         bias_corr = jnp.einsum("hwio,i->o", w_err, r_mean)
-    if not unsigned:
-        xq = quantize_act(x, sx)
-        y = jax.lax.conv_general_dilated(
-            xq,
-            wq,
-            strides,
-            padding,
-            rhs_dilation=dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
-        out = y.astype(jnp.float32) * sw
-        if bias_corr is not None:
-            out = out + bias_corr
-        return out.astype(out_dtype)
-
-    if isinstance(padding, str):
-        raise ValueError(
-            "unsigned int8_conv needs explicit padding tuples (the pad "
-            f"value is the zero code), got {padding!r}"
-        )
-    q = jnp.round(x.astype(jnp.float32) / sx) - 127.0
-    xq = jnp.clip(q, -127, 127).astype(jnp.int8)
-    if any(p != 0 for pair in padding for p in pair):
-        xq = jnp.pad(
-            xq,
-            ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0)),
-            constant_values=np.int8(-127),
-        )
+    xq = quantize_act(x, sx)
     y = jax.lax.conv_general_dilated(
         xq,
         wq,
         strides,
-        ((0, 0), (0, 0)),
+        padding,
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    # exact integer zero-point correction: conv(q + 127, wq) ==
-    # conv_s8(q, wq) + 127 * sum_{kh,kw,ci}(wq) per output channel
-    corr = 127 * jnp.sum(wq.astype(jnp.int32), axis=(0, 1, 2))
-    out = (y + corr).astype(jnp.float32) * sw
+    out = y.astype(jnp.float32) * sw
     if bias_corr is not None:
         out = out + bias_corr
     return out.astype(out_dtype)

@@ -38,12 +38,16 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
 def build_cfg(mode, impl, gta, cs, size, batch, epochs, out, seed=0):
+    """``impl``: 'sort' (exact), 'binned' (fg/bg-split backward, the r5
+    default), or 'binned_avg' (the r4 bucket-average backward)."""
     from rtda_semanticsegmentation_tpu.config import get_preset
 
     preset = (
         "bisenet_adversarial_lovasz" if mode == "adversarial_lovasz"
         else "bisenet_source_small"
     )
+    lovasz_impl = "sort" if impl == "sort" else "binned"
+    lovasz_interp = impl == "binned"
     cfg = get_preset(preset)
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, pretrained_backbone=None),
@@ -60,7 +64,8 @@ def build_cfg(mode, impl, gta, cs, size, batch, epochs, out, seed=0):
         ),
         augment=dataclasses.replace(cfg.augment, pipeline="no_new_aug"),
         loss=dataclasses.replace(
-            cfg.loss, use_lovasz=True, lovasz_impl=impl
+            cfg.loss, use_lovasz=True, lovasz_impl=lovasz_impl,
+            lovasz_interp=lovasz_interp,
         ),
         train=dataclasses.replace(
             cfg.train,
@@ -111,6 +116,10 @@ def main(argv=None):
                    help="train seed (init + shuffle); fixtures stay fixed "
                         "so extra seeds replicate the binned-vs-sort delta "
                         "on identical data")
+    p.add_argument("--impls", nargs="+", default=["binned", "sort"],
+                   choices=("binned", "binned_avg", "sort"),
+                   help="'binned' = fg/bg-split backward (r5 default); "
+                        "'binned_avg' = r4 bucket-average backward.")
     p.add_argument("--out", default="/tmp/ab_lovasz")
     args = p.parse_args(argv)
 
@@ -131,7 +140,7 @@ def main(argv=None):
 
     results = {}
     for mode in args.modes:
-        for impl in ("binned", "sort"):
+        for impl in args.impls:
             run_name = f"{mode}_{impl}_s{args.seed}"
             print(f"=== {run_name} ({args.epochs} epochs x "
                   f"{args.n_images // args.batch} steps) ===", flush=True)
@@ -151,22 +160,26 @@ def main(argv=None):
 
     print("\n=== comparison ===")
     summary = {}
+    ref_impl = "sort" if "sort" in args.impls else args.impls[-1]
     for mode in args.modes:
-        b = results[f"{mode}_binned_s{args.seed}"]
-        s = results[f"{mode}_sort_s{args.seed}"]
-        d = abs(b["best_miou"] - s["best_miou"])
-        curve_d = [
-            abs(x[1] - y[1]) for x, y in zip(b["curve"], s["curve"])
-        ]
-        summary[mode] = {
-            "binned_best_miou": b["best_miou"],
-            "sort_best_miou": s["best_miou"],
-            "best_miou_abs_diff": d,
-            "max_curve_abs_diff": max(curve_d) if curve_d else None,
-        }
-        print(f"{mode}: binned {b['best_miou']:.4f} vs sort "
-              f"{s['best_miou']:.4f} (|d| {d:.4f}; max curve |d| "
-              f"{max(curve_d) if curve_d else float('nan'):.4f})")
+        s = results[f"{mode}_{ref_impl}_s{args.seed}"]
+        summary[mode] = {f"{ref_impl}_best_miou": s["best_miou"]}
+        for impl in args.impls:
+            if impl == ref_impl:
+                continue
+            b = results[f"{mode}_{impl}_s{args.seed}"]
+            d = abs(b["best_miou"] - s["best_miou"])
+            curve_d = [
+                abs(x[1] - y[1]) for x, y in zip(b["curve"], s["curve"])
+            ]
+            summary[mode][f"{impl}_best_miou"] = b["best_miou"]
+            summary[mode][f"{impl}_best_miou_abs_diff"] = d
+            summary[mode][f"{impl}_max_curve_abs_diff"] = (
+                max(curve_d) if curve_d else None
+            )
+            print(f"{mode}: {impl} {b['best_miou']:.4f} vs {ref_impl} "
+                  f"{s['best_miou']:.4f} (|d| {d:.4f}; max curve |d| "
+                  f"{max(curve_d) if curve_d else float('nan'):.4f})")
 
     with open(os.path.join(args.out, "lovasz_ab.json"), "w") as f:
         json.dump({"summary": summary, "runs": results}, f, indent=2)

@@ -34,6 +34,9 @@ import numpy as np
 
 H, W = 512, 1024
 BATCH = int(os.environ.get("DECOMP_BATCH", "8"))
+# 'bisenet_source_aug' (default) or 'deeplabv2_cityscapes' — the latter
+# reports the DeepLabV2 frozen-BN SGD train phase table (VERDICT r4 #6).
+PRESET = os.environ.get("DECOMP_PRESET", "bisenet_source_aug")
 ITERS, WARM_LOOPS = 20, 1
 V5E_PEAK_BF16 = 197e12
 
@@ -46,7 +49,7 @@ def build():
     from rtda_semanticsegmentation_tpu.train.state import ModelState, TrainState
     from rtda_semanticsegmentation_tpu.train.steps import make_train_step
 
-    cfg = get_preset("bisenet_source_aug")
+    cfg = get_preset(PRESET)
     cfg = cfg.replace(
         data=dataclasses.replace(
             cfg.data, gta5_size=(H, W), cityscapes_size=(H, W)
@@ -57,7 +60,10 @@ def build():
     g = ModelState.create(
         model.apply,
         init_model(model, jax.random.PRNGKey(0), (1, H, W, 3)),
-        build_generator_tx(cfg.optimizer, 1000),
+        build_generator_tx(
+            cfg.optimizer, 1000,
+            freeze_bn=(cfg.model.name == "deeplabv2"),
+        ),
     )
     state = TrainState.create(g, None)
     steps = {}
@@ -111,7 +117,8 @@ def main() -> None:
     from rtda_semanticsegmentation_tpu.train.steps import _apply_train
 
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({dev.platform})")
+    print(f"device: {dev.device_kind} ({dev.platform}) preset={PRESET} "
+          f"batch={BATCH}")
     cfg, model, state, steps = build()
     rng = np.random.RandomState(0)
     batch = {
