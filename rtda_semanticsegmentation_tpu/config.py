@@ -148,9 +148,17 @@ class ModelConfig:
     # by models/quantize.py freeze()/quantized_model(frozen=True));
     # training always runs 'none'. Convs with >= quant_min_ch
     # input channels are quantized after a calibration pass
-    # (models/quantize.py). v5e's MXU runs s8 at 2x the bf16 rate.
+    # (models/quantize.py). v5e's MXU runs s8 at 2x the bf16 rate — but an
+    # XLA int8 conv also materializes its raw s32 accumulator in HBM
+    # (scripts/probe_int8_chain_hlo.py), so BANDWIDTH-bound convs lose:
+    # at the 64-in-channel large-spatial shapes (layer1, spatial path)
+    # int8 measures 2x SLOWER than bf16 per conv while >=128-channel
+    # shapes win 1.5-1.9x (scripts/bench_pallas_int8_conv.py). The 128
+    # default quantizes only where s8 pays; end-to-end policy sweep:
+    # min_ch 128 = 1838 img/s vs 64's 1735 @ b256, with BETTER fidelity
+    # (scripts/bench_int8_policy.py, r5).
     quant: str = "none"
-    quant_min_ch: int = 64
+    quant_min_ch: int = 128
     # Activation-scale clip quantile for calibration: 1.0 = exact per-channel
     # max|x| (the default); q < 1.0 clips to the q-quantile of |x|. With
     # per-INPUT-CHANNEL scales the exact max measures BEST on trained

@@ -16,7 +16,10 @@ Output: top-K table (op, count/step, ms/step, % of step, TFLOP/s, class)
 plus fwd/bwd/other bucket totals. This replaces the r4 extrapolation
 ("the backward gap is the thin-stage conv emitter") with measurements.
 
-Env: DECOMP_BATCH (default 32), PROFILE_STEPS (default 4).
+Env: DECOMP_BATCH (default 32), PROFILE_STEPS (default 4),
+PROFILE_PROGRAM = fwdbwd (default) | serve_bf16 | serve_int8 (the
+serve-equivalent inference program at DECOMP_BATCH, int8 via the frozen
+path under the current default policy).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile_backward_ops.py
 """
 
@@ -43,8 +46,28 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 H, W = 512, 1024
 BATCH = int(os.environ.get("DECOMP_BATCH", "32"))
 STEPS = int(os.environ.get("PROFILE_STEPS", "4"))
+PROGRAM = os.environ.get("PROFILE_PROGRAM", "fwdbwd")
 LOGDIR = "/tmp/bwd_profile_trace"
 V5E_PEAK_BF16 = 197e12
+
+
+def build_serve(int8: bool):
+    """Serve-equivalent program (bench.py): uint8 -> normalize -> model ->
+    argmax-sum (the argmax is added here so the traced program matches the
+    timed one)."""
+    import bench
+
+    variables, forward = bench._build()
+    if int8:
+        variables, forward, _, _, _ = bench._build_int8(variables)
+
+    def prog(variables, images):
+        out = forward(variables, images)
+        return jnp.sum(jnp.argmax(out, -1)).astype(jnp.float32)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 256, (BATCH, H, W, 3), np.uint8))
+    return prog, (variables, images)
 
 
 def build_fwdbwd():
@@ -203,9 +226,13 @@ def parse_hlo(txt: str):
 
 def main() -> None:
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({dev.platform}) batch={BATCH}",
-          flush=True)
-    fwdbwd, args = build_fwdbwd()
+    print(f"device: {dev.device_kind} ({dev.platform}) batch={BATCH} "
+          f"program={PROGRAM}", flush=True)
+    if PROGRAM == "fwdbwd":
+        fwdbwd, args = build_fwdbwd()
+    else:
+        sys.path.insert(0, "/root/repo")
+        fwdbwd, args = build_serve(int8=PROGRAM == "serve_int8")
     step = jax.jit(fwdbwd)
     compiled = step.lower(*args).compile()
     hlo = compiled.as_text()

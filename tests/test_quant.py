@@ -255,11 +255,17 @@ def test_channel_policy_skips_few_channel_convs(bisenet_quant):
         for kp, v in jax.tree_util.tree_leaves_with_path(stats)
     }
     paths = list(flat)
-    # RGB-consuming convs (ci=3 < 64) must not be on the int8 path
+    # below-min_ch convs (default 128 since r5: thin-channel large-spatial
+    # convs are bandwidth-bound and int8's s32-accumulator HBM round trip
+    # makes them SLOWER than bf16 — scripts/bench_int8_policy.py) must not
+    # be on the int8 path: the RGB stems (ci=3) and the 64-in convs
+    # (spatial convblock2, layer1)
     assert not any("convblock1" in p and "spatial_path" in p for p in paths)
     assert not any(p.endswith("stem/conv/in_absmax") for p in paths)
+    assert not any("convblock2" in p and "spatial_path" in p for p in paths)
+    assert not any("layer1_" in p for p in paths)
     # channel-rich convs must be
-    assert any("spatial_path" in p and "convblock2" in p for p in paths)
+    assert any("spatial_path" in p and "convblock3" in p for p in paths)
     assert any("ffm" in p for p in paths)
     # per-INPUT-CHANNEL stats: 1-D, non-negative, and not all dead (a
     # channel that is exactly zero on the calibration set records 0 and is
