@@ -556,8 +556,9 @@ def main() -> None:
                  f"mIoU delta {miou_delta * 100:.3f} pts "
                  f"(gate < 0.5 pts)")
             best_q, best_qb, best_qsec = 0.0, 0, 0.0
-            # 256 first: the int8 peak (1735 img/s vs 1694 @ b128; the
-            # in-between 160/192 dip and the b384 fade are recorded in
+            # 256 first: the int8 peak (r5 policy quant_min_ch=128: 1838
+            # img/s vs 1821 @ b128 — scripts/bench_int8_policy.py; the
+            # r4-policy 160/192 dip and b384 fade are recorded in
             # PERFORMANCE.md — b512 fails to compile)
             for b in (256, 128, 96):
                 if _remaining() < 90:

@@ -51,17 +51,19 @@ class AugmentConfig:
     norm_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     norm_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     # Storage dtype of the stochastic per-image chain inside augment_batch
-    # (per-op math always runs in f32 on [0,1]; statistics reductions and
-    # ISONoise interiors stay f32 in every mode). The pipeline is
-    # HBM-bandwidth-bound, not flops-bound (PERFORMANCE.md), so narrower
-    # inter-op buffers are faster: 'float32' > 'bfloat16' (r4 default,
-    # halves traffic) > 'uint8' (r5: halves it again AND is the most
-    # reference-faithful — the reference's albumentations transforms are
-    # uint8-in/uint8-out with 1/255 steps BEFORE normalization, reference
-    # config.py:204-214, so the u8 chain quantizes exactly where the
-    # reference does). Behavior note: each dtype is a different numerical
-    # pipeline; fixed-seed draws differ across settings (docs/MIGRATING.md).
-    aug_dtype: str = "uint8"
+    # (statistics reductions and ISONoise interiors stay f32 in every
+    # mode). 'bfloat16' (default): the whole chain computes AND stores in
+    # bf16 — measured fastest (same-session b32 aug deltas: bf16 14.6 ms,
+    # uint8 22.6, f32 25.6 — scripts/bench_aug_dtype_ab.py, r5). 'uint8'
+    # stores u8 between ops with per-op f32 math — the most
+    # reference-faithful grid (albumentations transforms are u8-in/u8-out
+    # with 1/255 steps, reference config.py:204-214) but SLOWER on TPU:
+    # the per-op u8<->f32 conversions and 4-byte fusion interiors cost
+    # more than the 1-byte barrier buffers save. 'float32' restores
+    # bit-level headroom. Behavior note: each dtype is a different
+    # numerical pipeline; fixed-seed draws differ across settings
+    # (docs/MIGRATING.md).
+    aug_dtype: str = "bfloat16"
 
     @property
     def flags(self) -> Tuple[bool, bool, bool, bool]:

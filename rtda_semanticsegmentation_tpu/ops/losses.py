@@ -288,9 +288,9 @@ def _binned_lovasz_forward(
     = DeltaJaccard(bucket)/count(bucket) — the bucket-averaged Lovász
     gradient used by the custom backward.
 
-    ``interp=True``: tables is (C, 4, bins) holding (T1, T2, T3, T4) per
-    bucket for the FG/BG-SPLIT within-bucket backward. Measured anatomy of
-    the ~0.94 grad-cosine floor (round 5; not bucket width — 128 to 1024
+    ``interp=True``: tables is (C, 2, bins) holding the FG/BG-SPLIT
+    per-bucket coefficients (coef_fg, coef_bg). Measured anatomy of the
+    ~0.94 grad-cosine floor (round 5; not bucket width — 128 to 1024
     bins barely moves it, and not sort ties — a tie-averaged exact oracle
     has cosine 1.000 with the exact sort): the exact per-rank Lovász
     coefficient is BIMODAL BY FG-NESS. A descending step onto a foreground
@@ -299,18 +299,22 @@ def _binned_lovasz_forward(
     the union, giving ΔJ = I/(U(U+1)) — smaller by the factor I/U < 1. The
     bucket average ΔJ/n mixes the two populations, and that mixing error is
     bin-width-independent because fg and bg errors overlap densely. The
-    backward, however, KNOWS each pixel's fg-ness — so the refined tables
-    carry the bucket-edge cumulative state and each pixel evaluates its own
-    branch at its fractional within-bucket error position t ∈ [0, 1]
-    (uniform-mixing continuum: I(t) = I0 - f·t, U(t) = U0 + (n-f)·t):
+    backward, however, KNOWS each pixel's fg-ness — so each bucket stores
+    its two branch coefficients evaluated at the bucket's rank-span
+    MIDPOINT (uniform-mixing continuum: I(t) = I0 - f·t,
+    U(t) = U0 + (n-f)·t, at t = 1/2):
 
-        coef_fg(t) = 1 / U(t)        = T1 / (1 + T2·t)
-        coef_bg(t) = I(t) / U(t)²    = T1·(T3 - T4·t) / (1 + T2·t)²
+        coef_fg = 1 / U(1/2)          coef_bg = I(1/2) / U(1/2)²
 
-    with T1 = 1/U0 (present mask + cotangent fold here), T2 = (n-f)/U0,
-    T3 = I0/U0, T4 = f/U0. Degenerate buckets (n == 0, or U0 == 0 — the
-    absent-class first-bucket delta under the baseline-0 convention) fall
-    back to the averaged coefficient via (T1=ΔJ/n, T2=0, T3=1, T4=0).
+    and each pixel selects its branch — one extra k2-wide radix reduce vs
+    the bucket-average lookup, no per-pixel divisions. (A full rational
+    within-bucket interpolation in the pixel's fractional error position
+    was built first and measured: it costs 7.4 ms/flagship-step and moves
+    the cosine by < 1e-4 vs this midpoint form — the fg/bg SPLIT is the
+    entire win, so the cheap form is the shipped one.) Degenerate buckets
+    (n == 0, or U0 == 0 — the absent-class first-bucket delta under the
+    baseline-0 convention) fall back to the averaged coefficient in both
+    branches.
 
     Histogram producer: a fused single-pass Pallas kernel on TPU
     (``pallas_lovasz.lovasz_radix_hist``) that reads the probability matrix
@@ -377,23 +381,21 @@ def _binned_lovasz_forward(
         present_cnt > 0, loss_sum / jnp.maximum(present_cnt, 1.0), 0.0
     )
     if interp:
-        # FG/BG-split within-bucket tables (docstring math): exclusive
-        # descending cumulatives at each bucket's high-error edge.
+        # FG/BG-split per-bucket coefficients at the rank-span midpoint
+        # (docstring math): exclusive descending cumulatives at each
+        # bucket's high-error edge, advanced half a bucket.
         cn0 = cn - n
         cf0 = cf - f
-        i0 = gts - cf0
-        u0 = cn0 - cf0 + gts
-        d = n - f
-        ok = (n > 0) & (u0 > 0)
-        u0s = jnp.maximum(u0, 1.0)
-        t1 = jnp.where(ok, 1.0 / u0s, coef_desc)
-        t2 = jnp.where(ok, d / u0s, 0.0)
-        t3 = jnp.where(ok, i0 / u0s, 1.0)
-        t4 = jnp.where(ok, f / u0s, 0.0)
+        um = gts + (cn0 - cf0) + 0.5 * (n - f)  # U(1/2)
+        im = gts - cf0 - 0.5 * f  # I(1/2)
+        ok = (n > 0) & ((cn0 - cf0 + gts) > 0)
+        ums = jnp.maximum(um, 0.5)
+        c_fg = jnp.where(ok, 1.0 / ums, coef_desc)
+        c_bg = jnp.where(ok, im / (ums * ums), coef_desc)
         tables = jnp.stack(
-            [t1[:, ::-1] * present[:, None], t2[:, ::-1],
-             t3[:, ::-1], t4[:, ::-1]], axis=1
-        )  # (C, 4, bins), ascending bucket order
+            [c_fg[:, ::-1] * present[:, None],
+             c_bg[:, ::-1] * present[:, None]], axis=1
+        )  # (C, 2, bins), ascending bucket order
         return loss, tables, present_cnt
     # ascending bucket order so coef_table[c, b] indexes by raw bucket id
     coef_table = coef_desc[:, ::-1] * present[:, None]
@@ -437,14 +439,14 @@ def lovasz_softmax_binned(
     1024 (v5e, scripts/bench_deeplab_scaling_and_bins.py).
 
     Gradient (custom VJP): dL/de of a pixel comes from a per-bucket table —
-    with ``interp=True`` (default) the FG/BG-SPLIT within-bucket form
-    (fg: T1/(1+T2·t); bg: T1·(T3-T4·t)/(1+T2·t)²) evaluated at the pixel's
-    fractional error position t inside its bucket, which removes the
-    dominant binning-gradient error (the exact coefficient is bimodal by
-    fg-ness — see ``_binned_lovasz_forward``); with ``interp=False`` the
-    bucket's DeltaJaccard/count average — then the analytic
-    de/dp = (1 - 2*fg) chain. Either way the lookup is a radix bilinear
-    form: no sort, no scatter, no large residuals in the backward.
+    with ``interp=True`` (default) the FG/BG-SPLIT midpoint coefficients
+    (fg: 1/U; bg: I/U², per bucket), each pixel selecting its branch,
+    which removes the dominant binning-gradient error (the exact
+    coefficient is bimodal by fg-ness — see ``_binned_lovasz_forward``);
+    with ``interp=False`` the bucket's DeltaJaccard/count average — then
+    the analytic de/dp = (1 - 2*fg) chain. Either way the lookup is a
+    radix bilinear form: no sort, no scatter, no large residuals in the
+    backward.
     """
     loss, _, _ = _binned_lovasz_forward(
         probas, labels, ignore_index, classes, bins, pmesh, data_axis, interp
@@ -473,15 +475,9 @@ def _binned_bwd(ignore_index, classes, bins, pmesh, data_axis, interp, res, g):
         valid = jnp.ones_like(labels2, dtype=bool)
     validf = valid.astype(jnp.float32)
     scale = jnp.where(present_cnt > 0, g / jnp.maximum(present_cnt, 1.0), 0.0)
-    if interp:
-        # fold cotangent + normalization into the T1 row only (both branch
-        # coefficients are linear in T1; T2-T4 are pure geometry terms)
-        one = jnp.ones_like(scale)
-        coef_table = coef_table * jnp.stack(
-            [scale, one, one, one]
-        ).reshape(1, 4, 1)
-    else:
-        coef_table = coef_table * scale
+    # cotangent + normalization fold into the coefficient table(s) —
+    # both split branches are coefficients, so the fold is uniform
+    coef_table = coef_table * scale
     if _use_pallas()[0]:
         # Fused Pallas backward: per-chunk bilinear radix lookup + chain,
         # no (k?, P) HBM intermediates (pallas_lovasz.lovasz_radix_bwd) —
@@ -518,28 +514,20 @@ def _binned_bwd(ignore_index, classes, bins, pmesh, data_axis, interp, res, g):
         oh1 = (c1[None, :] == iota1[:, None]).astype(jnp.bfloat16)  # (k1,P)
         oh2 = (c2[None, :] == iota2[:, None]).astype(jnp.bfloat16)  # (k2,P)
         if interp:
-            # one dot fetches all four tables: column blocks of k2 each
+            # one dot fetches both branch tables: column blocks of k2 each
             mats = (
-                coef_table[c].reshape(4, k1, k2)
-                .transpose(1, 0, 2).reshape(k1, 4 * k2)
+                coef_table[c].reshape(2, k1, k2)
+                .transpose(1, 0, 2).reshape(k1, 2 * k2)
                 .astype(jnp.bfloat16)
             )
             tmp = jax.lax.dot_general(
                 mats.T, oh1,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (4*k2, P)
-            t1 = (tmp[:k2] * oh2).sum(axis=0)
-            t2 = (tmp[k2:2 * k2] * oh2).sum(axis=0)
-            t3 = (tmp[2 * k2:3 * k2] * oh2).sum(axis=0)
-            t4 = (tmp[3 * k2:] * oh2).sum(axis=0)
-            # fractional position inside the bucket's DESCENDING rank span:
-            # t = 0 at the bucket's high-error edge, 1 at the low edge
-            t = jnp.clip(b.astype(jnp.float32) + 1.0 - bqf, 0.0, 1.0)
-            den = 1.0 + t2 * t
-            coef = jnp.where(
-                fg > 0, t1 / den, t1 * (t3 - t4 * t) / jnp.square(den)
-            )
+            )  # (2*k2, P)
+            cfg_v = (tmp[:k2] * oh2).sum(axis=0)
+            cbg_v = (tmp[k2:] * oh2).sum(axis=0)
+            coef = jnp.where(fg > 0, cfg_v, cbg_v)
         else:
             coef_mat = coef_table[c].reshape(k1, k2).astype(jnp.bfloat16)
             tmp = jax.lax.dot_general(

@@ -161,12 +161,11 @@ def _bwd_kernel(
     the bilinear form oh1^T · coef_mat · oh2 (two lane-major small dots —
     see PERFORMANCE.md item 13), then the analytic chain de/dp = (1-2*fg).
     ``interp=False``: one table, the bucket-average coefficient.
-    ``interp=True``: four tables (T1..T4) laid out as k2-wide column
-    blocks; each pixel evaluates its fg/bg branch of the split coefficient
-    T1/(1+T2·t) (fg) or T1·(T3-T4·t)/(1+T2·t)² (bg) at its fractional
-    within-bucket error position t (``losses._binned_lovasz_forward``
-    docstring). The caller folds the upstream cotangent and the
-    1/present_count normalization into the T1 table.
+    ``interp=True``: two tables (coef_fg, coef_bg) laid out as k2-wide
+    column blocks; each pixel selects its fg/bg branch of the split
+    midpoint coefficient (``losses._binned_lovasz_forward`` docstring).
+    The caller folds the upstream cotangent and the 1/present_count
+    normalization into both tables.
     """
     bins = k1 * k2
     labels = labels_ref[0, :]
@@ -193,15 +192,9 @@ def _bwd_kernel(
         )  # (n_tab * k2, T)
         oh2f = oh2.astype(jnp.float32)
         if interp:
-            t1 = jnp.sum(tmp[:k2] * oh2f, axis=0)  # (T,)
-            t2 = jnp.sum(tmp[k2:2 * k2] * oh2f, axis=0)
-            t3 = jnp.sum(tmp[2 * k2:3 * k2] * oh2f, axis=0)
-            t4 = jnp.sum(tmp[3 * k2:] * oh2f, axis=0)
-            frac = jnp.clip(b.astype(jnp.float32) + 1.0 - bqf, 0.0, 1.0)
-            den = 1.0 + t2 * frac
-            coef = jnp.where(
-                fg > 0, t1 / den, t1 * (t3 - t4 * frac) / (den * den)
-            )
+            cfg_v = jnp.sum(tmp[:k2] * oh2f, axis=0)  # (T,)
+            cbg_v = jnp.sum(tmp[k2:] * oh2f, axis=0)
+            coef = jnp.where(fg > 0, cfg_v, cbg_v)
         else:
             coef = jnp.sum(tmp * oh2f, axis=0)  # (T,)
         out_ref[c, :] = coef * (1.0 - 2.0 * fg)
@@ -217,7 +210,7 @@ def _bwd_kernel(
 def lovasz_radix_bwd(
     probas_t: jnp.ndarray,  # (C, P) f32
     labels: jnp.ndarray,  # (P,) i32
-    coef_table: jnp.ndarray,  # (C, bins) or (C, 4, bins) f32 (see below)
+    coef_table: jnp.ndarray,  # (C, bins) or (C, 2, bins) f32 (see below)
     bins: int = 1024,
     ignore_index: int = 255,
     chunk: int = DEFAULT_CHUNK,
@@ -251,16 +244,16 @@ def lovasz_radix_bwd(
         interp=interp,
     )
     if interp:
-        # (C, 4, bins) -> (C*k1, 4*k2): per class-row block, k2-wide column
-        # blocks T1..T4, so ONE dot fetches all four tables
+        # (C, 2, bins) -> (C*k1, 2*k2): per class-row block, k2-wide column
+        # blocks (coef_fg, coef_bg), so ONE dot fetches both tables
         tab = (
-            coef_table.reshape(num_classes, 4, k1, k2)
+            coef_table.reshape(num_classes, 2, k1, k2)
             .transpose(0, 2, 1, 3)
-            .reshape(num_classes * k1, 4 * k2)
+            .reshape(num_classes * k1, 2 * k2)
         )
     else:
         tab = coef_table.reshape(num_classes * k1, k2)
-    n_tab = 4 if interp else 1
+    n_tab = 2 if interp else 1
     out = pl.pallas_call(
         kernel,
         grid=(total // chunk,),
