@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "max|x|; default: ModelConfig.quant_clip = 1.0. "
                         "Recorded in the artifact metadata so exports are "
                         "pinnable.")
+    p.add_argument("--quant_min_ch", type=int, default=None,
+                   help="int8 channel policy: only convs with at least this "
+                        "many INPUT channels run on the s8 path (default "
+                        "ModelConfig.quant_min_ch = 128; measured policy "
+                        "sweep in scripts/bench_int8_policy.py).")
+    p.add_argument("--quant_skip", type=str, nargs="*", default=None,
+                   help="Module-path substrings kept on the bf16 path even "
+                        "in int8 mode (e.g. ffm layer4).")
     p.add_argument("--platforms", default="tpu,cpu",
                    help="Comma-separated lowering targets (default tpu,cpu).")
     return p
@@ -88,6 +96,10 @@ def main(argv=None) -> int:
         pretrained_backbone=None,
         **({"quant_clip": args.quant_clip}
            if args.quant_clip is not None else {}),
+        **({"quant_min_ch": args.quant_min_ch}
+           if args.quant_min_ch is not None else {}),
+        **({"quant_skip": tuple(args.quant_skip)}
+           if args.quant_skip is not None else {}),
     )
     cfg = ExperimentConfig(model=mcfg)
     if args.checkpoint_dir:

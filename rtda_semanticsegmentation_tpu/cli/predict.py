@@ -102,6 +102,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 activation-scale clip quantile (1.0 = exact "
                         "max|x|; default: ModelConfig.quant_clip = 1.0 — exact "
                         "per-channel max measures best on trained weights).")
+    p.add_argument("--quant_min_ch", type=int, default=None,
+                   help="int8 channel policy: only convs with at least this "
+                        "many INPUT channels run on the s8 path (default "
+                        "ModelConfig.quant_min_ch = 128 — thin-channel "
+                        "large-spatial convs are bandwidth-bound and int8 "
+                        "measures SLOWER there; scripts/bench_int8_policy.py).")
+    p.add_argument("--quant_skip", type=str, nargs="*", default=None,
+                   help="Module-path substrings kept on the bf16 path even "
+                        "in int8 mode (e.g. ffm layer4) — the fidelity/"
+                        "throughput lever of scripts/probe_int8_layers.py.")
     p.add_argument("--overlay", action="store_true",
                    help="Also write a 60/40 image/mask blend per input.")
     p.add_argument("--no_resize_back", action="store_true",
@@ -171,6 +181,10 @@ def main(argv=None) -> int:
         pretrained_backbone=None,
         **({"quant_clip": args.quant_clip}
            if args.quant_clip is not None else {}),
+        **({"quant_min_ch": args.quant_min_ch}
+           if args.quant_min_ch is not None else {}),
+        **({"quant_skip": tuple(args.quant_skip)}
+           if args.quant_skip is not None else {}),
     )
     cfg = ExperimentConfig(model=mcfg)
     if args.checkpoint_dir:
