@@ -556,6 +556,7 @@ def main() -> None:
                  f"mIoU delta {miou_delta * 100:.3f} pts "
                  f"(gate < 0.5 pts)")
             best_q, best_qb, best_qsec = 0.0, 0, 0.0
+            gate_ok = miou_delta < 0.005
             # 256 first: the int8 peak (r5 policy quant_min_ch=128: 1838
             # img/s vs 1821 @ b128 — scripts/bench_int8_policy.py; the
             # r4-policy 160/192 dip and b384 fade are recorded in
@@ -568,7 +569,15 @@ def main() -> None:
                 _log(f"int8 batch={b}: {ips:.1f} img/s device")
                 if ips > best_q:
                     best_q, best_qb, best_qsec = ips, b, devt
-            if miou_delta < 0.005 and best_q > best_ips:
+                # Deadline-proofing: the gate verdict predates the sweep,
+                # so promote each qualified row the moment it is measured —
+                # a stall in a LATER batch's compile must not leave the
+                # watchdog emitting the bf16 row (observed r5: int8 b256
+                # measured at t=895s, b128's compile starved past the
+                # 1500s deadline, final emit was bf16).
+                if gate_ok and ips > best_ips:
+                    HEADLINE.update(ips)
+            if gate_ok and best_q > best_ips:
                 q_mfu = _mfu(
                     infer_flops * best_qb / max(best_b, 1), best_qsec,
                     V5E_PEAK_INT8,

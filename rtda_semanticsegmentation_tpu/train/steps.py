@@ -291,6 +291,19 @@ def make_train_step(
             pooled) logits, in compute dtype (reference train.py:249-307;
             pooling is the disc_downsample opt-in)."""
             pooled = _block_mean(pred, pool)
+            # FC-Discriminator is five 4x4/s2/p1 convs: an input side < 32
+            # collapses to a ZERO-size tensor inside the trunk and the BCE
+            # mean over it is silently NaN (XLA supports 0-size arrays, so
+            # nothing errors until the loss). Fail at trace time instead.
+            if min(pooled.shape[1], pooled.shape[2]) < 32:
+                raise ValueError(
+                    f"discriminator input {pooled.shape[1]}x"
+                    f"{pooled.shape[2]} (train resolution / "
+                    f"disc_downsample={pool}) is below the 32-pixel "
+                    "minimum side the 5-conv stride-2 trunk supports — "
+                    "lower adversarial.disc_downsample or raise the "
+                    "train resolution"
+                )
             return jax.nn.softmax(
                 pooled.astype(jnp.promote_types(pooled.dtype, jnp.float32)),
                 axis=-1,

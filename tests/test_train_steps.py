@@ -491,3 +491,23 @@ def test_disc_downsample_validation():
     )
     with pytest.raises(ValueError, match="disc_downsample"):
         make_train_step(cfg, poly_lr_schedule(1e-3, 10), poly_lr_schedule(1e-4, 10))
+
+
+def test_disc_downsample_degenerate_size_raises():
+    # 64/4 = 16 < 32: the FC-Discriminator's 5-conv stride-2 trunk would
+    # produce a zero-size tensor and a silently-NaN BCE mean; the step must
+    # raise a clear error at trace time instead.
+    cfg = tiny_config(
+        adversarial__enabled=True,
+        augment__pipeline="no_new_aug",
+        adversarial__disc_downsample=4,
+    )
+    g_sched = poly_lr_schedule(cfg.optimizer.learning_rate, MAX_ITER)
+    d_sched = poly_lr_schedule(cfg.adversarial.disc_learning_rate, MAX_ITER)
+    step = make_train_step(cfg, g_sched, d_sched)
+    with pytest.raises(ValueError, match="32-pixel minimum"):
+        step(
+            build_state(cfg, with_disc=True),
+            make_batch(target=True),
+            jax.random.PRNGKey(0),
+        )
