@@ -11,9 +11,13 @@ Matched-data, matched-schedule flagship runs (adversarial + Lovász through
 one run per factor per seed. Compare best/val mIoU trajectories; judge the
 factor delta against the seed-to-seed spread measured the same way.
 
+Factor 8 needs a train side >= 256 px (the pooled map must keep D's
+32-pixel minimum side — smaller sizes raise at trace time), so the
+default probe size is 256x512; on TPU the 4 runs take ~15 min.
+
 Usage::
 
-    python scripts/ab_disc_downsample.py --device cpu --seeds 0 1
+    python scripts/ab_disc_downsample.py --device tpu --seeds 0 1
 
 Results: table on stdout + JSON at ``<out>/disc_ds_ab.json``; conclusions
 recorded in PERFORMANCE.md.
@@ -72,7 +76,7 @@ def build_cfg(factor, gta, cs, size, batch, epochs, out, seed):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--device", choices=("cpu", "tpu"), default="cpu")
-    p.add_argument("--size", type=int, nargs=2, default=(64, 128))
+    p.add_argument("--size", type=int, nargs=2, default=(256, 512))
     p.add_argument("--n_images", type=int, default=16)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--epochs", type=int, default=50)
